@@ -1,0 +1,84 @@
+"""Attention dispatch: Pallas flash kernel on TPU, XLA reference elsewhere.
+
+One entry point, ``multi_head_attention``, used by every model module
+(decoder self-attn, ViT, perceiver, gated cross-attn). Semantics are
+defined by :class:`unimp_tpu.ops.attention_ref.AttnMask` and verified by
+tests/test_flash_attention.py against the XLA reference.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+
+from unimp_tpu.ops.attention_ref import AttnMask, attention_xla
+from unimp_tpu.ops.flash_attention import flash_attention
+
+# Force a backend: "pallas" | "xla" | "" (auto).
+_ENV_IMPL = "UNIMP_ATTN_IMPL"
+
+
+def _resolve_impl(impl: Optional[str]) -> str:
+    if impl in ("pallas", "xla"):
+        return impl
+    env = os.environ.get(_ENV_IMPL, "")
+    if env in ("pallas", "xla"):
+        return env
+    # Auto: the Pallas kernel is the production path on TPU. Off-TPU it
+    # would run interpreted (orders of magnitude slower), so use XLA.
+    return "pallas" if jax.default_backend() == "tpu" else "xla"
+
+
+def multi_head_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    mask: Optional[AttnMask] = None,
+    *,
+    kv_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    impl: Optional[str] = None,
+) -> jax.Array:
+    """Scaled-dot-product attention over [B, S, H, D] tensors.
+
+    ``mask.kv_valid`` is only supported by the XLA path; the Pallas path
+    expresses right-padding via ``kv_len`` (contiguous valid prefix) which
+    is what the collator produces. Callers with right-padded batches
+    should pass ``kv_len``; ``mask.kv_valid`` exists for the reference
+    implementation and for tests.
+    """
+    impl = _resolve_impl(impl)
+    mask = mask or AttnMask()
+    if impl == "xla":
+        if kv_len is not None and mask.kv_valid is None:
+            skv = k.shape[1]
+            kv_valid = (
+                jax.lax.broadcasted_iota(jax.numpy.int32, (q.shape[0], skv), 1)
+                < kv_len[:, None]
+            )
+            mask = AttnMask(
+                causal=mask.causal,
+                q_media=mask.q_media,
+                kv_media=mask.kv_media,
+                media_mode=mask.media_mode,
+                kv_valid=kv_valid,
+            )
+        return attention_xla(q, k, v, mask, scale=scale)
+
+    if mask.kv_valid is not None:
+        raise NotImplementedError(
+            "Pallas path expresses padding via kv_len, not kv_valid"
+        )
+    return flash_attention(
+        q,
+        k,
+        v,
+        causal=mask.causal,
+        kv_len=kv_len,
+        q_media=mask.q_media,
+        kv_media=mask.kv_media,
+        media_mode=mask.media_mode,
+        scale=scale,
+    )
