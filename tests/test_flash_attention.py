@@ -155,3 +155,29 @@ def test_media_gradients_match_ref():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(a, b_, atol=3e-4, rtol=3e-4)
+
+
+def test_alibi_matches_ref():
+    from unimp_tpu.ops.attention_ref import alibi_slopes
+
+    b, sq, h, d = 2, 192, 6, 64
+    q, k, v = _make_qkv(b=b, sq=sq, skv=sq, h=h, seed=7)
+    slopes = alibi_slopes(h)
+    out = flash_attention(
+        q, k, v, causal=True, alibi_slopes=slopes, interpret=True
+    )
+    ref = attention_xla(q, k, v, AttnMask(causal=True), alibi=slopes)
+    np.testing.assert_allclose(out, ref, atol=3e-5, rtol=3e-5)
+
+    def loss_flash(q, k, v):
+        o = flash_attention(q, k, v, causal=True, alibi_slopes=slopes, interpret=True)
+        return jnp.sum(jnp.tanh(o))
+
+    def loss_ref(q, k, v):
+        o = attention_xla(q, k, v, AttnMask(causal=True), alibi=slopes)
+        return jnp.sum(jnp.tanh(o))
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_flash, g_ref):
+        np.testing.assert_allclose(a, b_, atol=3e-4, rtol=3e-4)

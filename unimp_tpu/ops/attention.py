@@ -38,6 +38,7 @@ def multi_head_attention(
     mask: Optional[AttnMask] = None,
     *,
     kv_len: Optional[jax.Array] = None,
+    alibi: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
 ) -> jax.Array:
@@ -65,7 +66,7 @@ def multi_head_attention(
                 media_mode=mask.media_mode,
                 kv_valid=kv_valid,
             )
-        return attention_xla(q, k, v, mask, scale=scale)
+        return attention_xla(q, k, v, mask, scale=scale, alibi=alibi)
 
     if mask.kv_valid is not None:
         raise NotImplementedError(
@@ -80,5 +81,6 @@ def multi_head_attention(
         q_media=mask.q_media,
         kv_media=mask.kv_media,
         media_mode=mask.media_mode,
+        alibi_slopes=alibi,
         scale=scale,
     )

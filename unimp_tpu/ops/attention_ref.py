@@ -81,12 +81,32 @@ class AttnMask:
         return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[:, None, :, :]
 
 
+def alibi_slopes(num_heads: int) -> jax.Array:
+    """Standard ALiBi slopes: geometric sequence 2^(-8i/n) (press et al.)."""
+    import math
+
+    def pow2_slopes(n):
+        start = 2.0 ** (-(2.0 ** -(math.log2(n) - 3)))
+        return [start * (start**i) for i in range(n)]
+
+    n = num_heads
+    if math.log2(n).is_integer():
+        vals = pow2_slopes(n)
+    else:
+        closest = 2 ** math.floor(math.log2(n))
+        vals = pow2_slopes(closest)
+        extra = pow2_slopes(2 * closest)[0::2][: n - closest]
+        vals = vals + extra
+    return jnp.asarray(vals, jnp.float32)
+
+
 def attention_xla(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
     mask: Optional[AttnMask] = None,
     scale: Optional[float] = None,
+    alibi: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Reference scaled-dot-product attention.
 
@@ -110,6 +130,12 @@ def attention_xla(
     # [B, H, Sq, Skv] logits in f32 for a numerically-stable softmax.
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
     logits = logits * scale
+    if alibi is not None:
+        qi = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
+        ki = jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
+        logits = logits + alibi[None, :, None, None] * (ki - qi).astype(
+            jnp.float32
+        )
     if mask is not None:
         bias = mask.bias(b, sq, skv)
         if bias is not None:

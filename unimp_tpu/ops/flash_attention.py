@@ -88,17 +88,16 @@ def _block_mask(
     return allowed
 
 
-def _read_kv_len(kv_len_ref, h: int, interp: bool):
-    """Per-batch kv_len scalar for the current (batch*head) grid step.
+def _read_smem_scalar(ref, idx, interp: bool):
+    """Scalar read from a whole-array SMEM ref at a traced index.
 
     On TPU, dynamic scalar indexing of an SMEM ref lowers fine; the
     pallas HLO interpreter (CPU tests) can't evaluate program_id inside
     a ref-transform, so read the whole row and take() instead.
     """
-    idx = pl.program_id(0) // h
     if interp:
-        return jnp.take(kv_len_ref[...], idx)
-    return kv_len_ref[idx]
+        return jnp.take(ref[...], idx)
+    return ref[idx]
 
 
 def _fwd_kernel(
@@ -109,6 +108,7 @@ def _fwd_kernel(
     causal: bool,
     media_mode: Optional[str],
     has_kv_len: bool,
+    has_alibi: bool,
     h: int,
     interp: bool,
 ):
@@ -120,6 +120,10 @@ def _fwd_kernel(
     q_media_ref = kv_media_ref = None
     if has_kv_len:
         kv_len_ref = refs[i]
+        i += 1
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[i]
         i += 1
     if media_mode is not None:
         q_media_ref, kv_media_ref = refs[i], refs[i + 1]
@@ -140,7 +144,16 @@ def _fwd_kernel(
     q_off = iq * bq
     kv_off = ik * bk
     # program_id is not interpretable inside pl.when bodies; read here.
-    kv_len_val = _read_kv_len(kv_len_ref, h, interp) if has_kv_len else None
+    kv_len_val = (
+        _read_smem_scalar(kv_len_ref, pl.program_id(0) // h, interp)
+        if has_kv_len
+        else None
+    )
+    alibi_slope = (
+        _read_smem_scalar(slopes_ref, pl.program_id(0) % h, interp)
+        if has_alibi
+        else None
+    )
 
     def _step():
         q = q_ref[0]  # [bq, d]
@@ -153,6 +166,10 @@ def _fwd_kernel(
             preferred_element_type=jnp.float32,
         )
         s = s * scale
+        if has_alibi:
+            qi = q_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            ki = kv_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = s + alibi_slope * (ki - qi).astype(jnp.float32)
         allowed = _block_mask(
             q_off,
             kv_off,
@@ -206,6 +223,7 @@ def _bwd_dkv_kernel(
     causal: bool,
     media_mode: Optional[str],
     has_kv_len: bool,
+    has_alibi: bool,
     h: int,
     interp: bool,
 ):
@@ -217,6 +235,10 @@ def _bwd_dkv_kernel(
     q_media_ref = kv_media_ref = None
     if has_kv_len:
         kv_len_ref = refs[i]
+        i += 1
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[i]
         i += 1
     if media_mode is not None:
         q_media_ref, kv_media_ref = refs[i], refs[i + 1]
@@ -235,7 +257,16 @@ def _bwd_dkv_kernel(
 
     q_off = iq * bq
     kv_off = ik * bk
-    kv_len_val = _read_kv_len(kv_len_ref, h, interp) if has_kv_len else None
+    kv_len_val = (
+        _read_smem_scalar(kv_len_ref, pl.program_id(0) // h, interp)
+        if has_kv_len
+        else None
+    )
+    alibi_slope = (
+        _read_smem_scalar(slopes_ref, pl.program_id(0) % h, interp)
+        if has_alibi
+        else None
+    )
 
     def _step():
         q = q_ref[0]
@@ -248,6 +279,10 @@ def _bwd_dkv_kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        if has_alibi:
+            qi2 = q_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            ki2 = kv_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = s + alibi_slope * (ki2 - qi2).astype(jnp.float32)
         allowed = _block_mask(
             q_off, kv_off, bq, bk,
             causal=causal,
@@ -297,6 +332,7 @@ def _bwd_dq_kernel(
     causal: bool,
     media_mode: Optional[str],
     has_kv_len: bool,
+    has_alibi: bool,
     h: int,
     interp: bool,
 ):
@@ -308,6 +344,10 @@ def _bwd_dq_kernel(
     q_media_ref = kv_media_ref = None
     if has_kv_len:
         kv_len_ref = refs[i]
+        i += 1
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref = refs[i]
         i += 1
     if media_mode is not None:
         q_media_ref, kv_media_ref = refs[i], refs[i + 1]
@@ -325,7 +365,16 @@ def _bwd_dq_kernel(
 
     q_off = iq * bq
     kv_off = ik * bk
-    kv_len_val = _read_kv_len(kv_len_ref, h, interp) if has_kv_len else None
+    kv_len_val = (
+        _read_smem_scalar(kv_len_ref, pl.program_id(0) // h, interp)
+        if has_kv_len
+        else None
+    )
+    alibi_slope = (
+        _read_smem_scalar(slopes_ref, pl.program_id(0) % h, interp)
+        if has_alibi
+        else None
+    )
 
     def _step():
         q = q_ref[0]
@@ -338,6 +387,10 @@ def _bwd_dq_kernel(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale
+        if has_alibi:
+            qi2 = q_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 0)
+            ki2 = kv_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = s + alibi_slope * (ki2 - qi2).astype(jnp.float32)
         allowed = _block_mask(
             q_off, kv_off, bq, bk,
             causal=causal,
@@ -370,7 +423,7 @@ def _bwd_dq_kernel(
         dq_ref[0] = dq_acc[:].astype(dq_ref.dtype)
 
 
-def _qkv_specs(h, bq, bk, d, *, has_kv_len, media_mode, kv_major):
+def _qkv_specs(h, bq, bk, d, *, has_kv_len, has_alibi, media_mode, kv_major):
     """BlockSpecs for (q, k, v[, kv_len][, q_media, kv_media]).
 
     Arrays are [B*H, S, D] (q/k/v), [B, 1] (kv_len, SMEM), [B, S] (media).
@@ -389,6 +442,9 @@ def _qkv_specs(h, bq, bk, d, *, has_kv_len, media_mode, kv_major):
     if has_kv_len:
         # kv_len is [B] int32, whole array in SMEM; kernels index it by
         # program_id(0) // h (rank-1 sub-array blocks are not TPU-legal).
+        specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+    if has_alibi:
+        # alibi slopes [H] f32, whole array in SMEM, indexed by head.
         specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if media_mode is not None:
         # media ids are [B, 1, S]; block (1, 1, bq) keeps the trailing two
@@ -410,7 +466,7 @@ def _pad_seq(x, target, axis, value=0):
     return jnp.pad(x, pad, constant_values=value)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8, 9, 10, 11, 12))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9, 10, 11, 12, 13))
 def _flash_attention(
     q,
     k,
@@ -418,6 +474,7 @@ def _flash_attention(
     kv_len,
     q_media,
     kv_media,
+    slopes,
     h: int,
     causal: bool,
     media_mode: Optional[str],
@@ -427,26 +484,28 @@ def _flash_attention(
     interpret: bool,
 ):
     out, _ = _flash_fwd(
-        q, k, v, kv_len, q_media, kv_media, h,
+        q, k, v, kv_len, q_media, kv_media, slopes, h,
         causal, media_mode, scale, block_q, block_k, interpret,
     )
     return out
 
 
 def _flash_fwd(
-    q, k, v, kv_len, q_media, kv_media, h,
+    q, k, v, kv_len, q_media, kv_media, slopes, h,
     causal, media_mode, scale, block_q, block_k, interpret,
 ):
     bh, sq, d = q.shape
     skv = k.shape[1]
     has_kv_len = kv_len is not None
+    has_alibi = slopes is not None
     n_q = sq // block_q
     n_k = skv // block_k
     grid = (bh, n_q, n_k)
 
     in_specs, _, _ = _qkv_specs(
         h, block_q, block_k, d,
-        has_kv_len=has_kv_len, media_mode=media_mode, kv_major=False,
+        has_kv_len=has_kv_len, has_alibi=has_alibi,
+        media_mode=media_mode, kv_major=False,
     )
     out_specs = [
         pl.BlockSpec((1, block_q, d), lambda b, iq, ik: (b, iq, 0)),
@@ -455,11 +514,14 @@ def _flash_fwd(
     kernel = functools.partial(
         _fwd_kernel,
         bq=block_q, bk=block_k, scale=scale, causal=causal,
-        media_mode=media_mode, has_kv_len=has_kv_len, h=h, interp=interpret,
+        media_mode=media_mode, has_kv_len=has_kv_len, has_alibi=has_alibi,
+        h=h, interp=interpret,
     )
     args = [q, k, v]
     if has_kv_len:
         args.append(kv_len)
+    if has_alibi:
+        args.append(slopes)
     if media_mode is not None:
         args.extend([q_media, kv_media])
     out, lse = pl.pallas_call(
@@ -481,16 +543,17 @@ def _flash_fwd(
         ),
         interpret=interpret,
     )(*args)
-    return out, (q, k, v, kv_len, q_media, kv_media, out, lse)
+    return out, (q, k, v, kv_len, q_media, kv_media, slopes, out, lse)
 
 
 def _flash_bwd(
     h, causal, media_mode, scale, block_q, block_k, interpret, residuals, g
 ):
-    q, k, v, kv_len, q_media, kv_media, out, lse = residuals
+    q, k, v, kv_len, q_media, kv_media, slopes, out, lse = residuals
     bh, sq, d = q.shape
     skv = k.shape[1]
     has_kv_len = kv_len is not None
+    has_alibi = slopes is not None
     n_q = sq // block_q
     n_k = skv // block_k
 
@@ -503,6 +566,8 @@ def _flash_bwd(
         a = []
         if has_kv_len:
             a.append(kv_len)
+        if has_alibi:
+            a.append(slopes)
         if media_mode is not None:
             a.extend([q_media, kv_media])
         return a
@@ -510,7 +575,8 @@ def _flash_bwd(
     # ---- dk, dv: kv-major grid ----
     in_specs, _, _ = _qkv_specs(
         h, block_q, block_k, d,
-        has_kv_len=has_kv_len, media_mode=media_mode, kv_major=True,
+        has_kv_len=has_kv_len, has_alibi=has_alibi,
+        media_mode=media_mode, kv_major=True,
     )
     do_spec = pl.BlockSpec((1, block_q, d), lambda b, o, i: (b, i, 0))
     row_spec = pl.BlockSpec((1, block_q, 1), lambda b, o, i: (b, i, 0))
@@ -518,7 +584,8 @@ def _flash_bwd(
     kernel = functools.partial(
         _bwd_dkv_kernel,
         bq=block_q, bk=block_k, scale=scale, causal=causal,
-        media_mode=media_mode, has_kv_len=has_kv_len, h=h, interp=interpret,
+        media_mode=media_mode, has_kv_len=has_kv_len, has_alibi=has_alibi,
+        h=h, interp=interpret,
     )
     dk, dv = pl.pallas_call(
         kernel,
@@ -545,7 +612,8 @@ def _flash_bwd(
     # ---- dq: q-major grid ----
     in_specs, _, _ = _qkv_specs(
         h, block_q, block_k, d,
-        has_kv_len=has_kv_len, media_mode=media_mode, kv_major=False,
+        has_kv_len=has_kv_len, has_alibi=has_alibi,
+        media_mode=media_mode, kv_major=False,
     )
     do_spec = pl.BlockSpec((1, block_q, d), lambda b, o, i: (b, o, 0))
     row_spec = pl.BlockSpec((1, block_q, 1), lambda b, o, i: (b, o, 0))
@@ -553,7 +621,8 @@ def _flash_bwd(
     kernel = functools.partial(
         _bwd_dq_kernel,
         bq=block_q, bk=block_k, scale=scale, causal=causal,
-        media_mode=media_mode, has_kv_len=has_kv_len, h=h, interp=interpret,
+        media_mode=media_mode, has_kv_len=has_kv_len, has_alibi=has_alibi,
+        h=h, interp=interpret,
     )
     dq = pl.pallas_call(
         kernel,
@@ -568,7 +637,7 @@ def _flash_bwd(
         interpret=interpret,
     )(q, k, v, do, lse, delta, *_extra_args())[0]
 
-    return dq, dk, dv, None, None, None
+    return dq, dk, dv, None, None, None, None
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)
@@ -584,6 +653,7 @@ def flash_attention(
     q_media: Optional[jax.Array] = None,
     kv_media: Optional[jax.Array] = None,
     media_mode: Optional[str] = None,
+    alibi_slopes: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     block_q: int = 128,
     block_k: int = 128,
@@ -597,6 +667,8 @@ def flash_attention(
       kv_len: [B] int32 — valid KV length per batch row (right padding).
       q_media / kv_media: [B, Sq] / [B, Skv] int32 media indices.
       media_mode: None | "immediate" | "all_previous".
+      alibi_slopes: [H] f32 per-head ALiBi slopes; adds slope*(ki-qi) to
+        the logits (MPT-style position encoding, no RoPE).
       scale: softmax scale (default 1/sqrt(D)).
       block_q/block_k: tile sizes (multiples of 128 recommended).
       interpret: force pallas interpreter (defaults to True off-TPU).
@@ -634,8 +706,9 @@ def flash_attention(
         kv_media.astype(jnp.int32), skv_p, 1, value=np.iinfo(np.int32).max
     ).reshape(b, 1, skv_p)
 
+    slopes = None if alibi_slopes is None else alibi_slopes.astype(jnp.float32)
     out = _flash_attention(
-        qt, kt, vt, kv_len_arg, qm, km,
+        qt, kt, vt, kv_len_arg, qm, km, slopes,
         h, causal, media_mode, scale, block_q, block_k, interpret,
     )
     out = out.reshape(b, h, sq_p, d)[:, :, :sq]
