@@ -1,0 +1,105 @@
+"""Model forward-pass tests: shapes, gating, cache-consistency."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unimp_tpu.models import UniMPModel, compute_q_media, get_config
+
+
+def _setup(batch=2, n_media=3, seq=48, seed=0):
+    cfg = get_config("debug", dtype="float32")
+    model = UniMPModel(cfg)
+    rng = jax.random.PRNGKey(seed)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    img = cfg.vision.image_size
+    vision_x = jax.random.normal(k1, (batch, n_media, img, img, 3), jnp.float32)
+    media_id = 7
+    ids = jax.random.randint(k2, (batch, seq), 10, cfg.lm.vocab_size)
+    # plant media tokens at fixed positions
+    for pos in (1, 12, 25):
+        ids = ids.at[:, pos].set(media_id)
+    q_media = compute_q_media(ids, media_id)
+    params = model.init(
+        k3, ids, vision_x=vision_x, q_media=q_media
+    )["params"]
+    return cfg, model, params, vision_x, ids, q_media
+
+
+def test_forward_shapes_and_gating():
+    cfg, model, params, vision_x, ids, q_media = _setup()
+    logits, _ = model.apply(
+        {"params": params}, ids, vision_x=vision_x, q_media=q_media
+    )
+    assert logits.shape == (ids.shape[0], ids.shape[1], cfg.lm.vocab_size)
+    assert logits.dtype == jnp.float32
+    assert np.isfinite(np.asarray(logits)).all()
+
+    # Gates init to 0 -> multimodal forward == text-only forward at init.
+    text_logits, _ = model.apply({"params": params}, ids)
+    np.testing.assert_allclose(logits, text_logits, atol=1e-5, rtol=1e-5)
+
+
+def test_media_content_changes_logits_after_gate_opens():
+    cfg, model, params, vision_x, ids, q_media = _setup()
+    # open the gates
+    params = jax.tree.map(lambda x: x, params)
+    for name in params:
+        if name.startswith("xattn_"):
+            params[name]["attn_gate"] = jnp.asarray(1.0)
+            params[name]["ff_gate"] = jnp.asarray(1.0)
+    l1, _ = model.apply({"params": params}, ids, vision_x=vision_x, q_media=q_media)
+    l2, _ = model.apply(
+        {"params": params}, ids, vision_x=vision_x * 2.0 + 0.3, q_media=q_media
+    )
+    assert float(jnp.max(jnp.abs(l1 - l2))) > 1e-4
+
+
+def test_cached_decode_matches_full_forward():
+    cfg, model, params, vision_x, ids, q_media = _setup(batch=1, seq=24)
+    b, s = ids.shape
+    latents = model.apply({"params": params}, vision_x, method=UniMPModel.encode_vision)
+
+    # full forward
+    full_logits, _ = model.apply(
+        {"params": params}, ids, latents=latents, q_media=q_media
+    )
+
+    # prefill on first s-4 tokens, then decode the rest one at a time
+    max_len = 32
+    caches = model.apply({"params": params}, b, max_len, method=UniMPModel.init_caches)
+    split = s - 4
+    pre_ids = ids[:, :split]
+    pre_pos = jnp.broadcast_to(jnp.arange(split, dtype=jnp.int32)[None], (b, split))
+    logits, caches = model.apply(
+        {"params": params}, pre_ids, latents=latents, q_media=q_media[:, :split],
+        positions=pre_pos, caches=caches, cache_index=jnp.int32(0),
+    )
+    np.testing.assert_allclose(
+        logits, full_logits[:, :split], atol=2e-4, rtol=2e-4
+    )
+    step_logits = []
+    for t in range(split, s):
+        tok = ids[:, t : t + 1]
+        pos = jnp.full((b, 1), t, jnp.int32)
+        lg, caches = model.apply(
+            {"params": params}, tok, latents=latents,
+            q_media=q_media[:, t : t + 1], positions=pos,
+            caches=caches, cache_index=jnp.int32(t),
+        )
+        step_logits.append(lg)
+    step_logits = jnp.concatenate(step_logits, axis=1)
+    np.testing.assert_allclose(
+        step_logits, full_logits[:, split:], atol=2e-4, rtol=2e-4
+    )
+
+
+def test_variant_configs_construct():
+    for name in ("debug", "small"):
+        cfg = get_config(name)
+        assert cfg.lm.hidden_size % cfg.lm.num_heads == 0
+    # big variants: config arithmetic only (no init)
+    for name in ("3b-mpt", "4b-instruct", "9b"):
+        cfg = get_config(name)
+        assert cfg.vision.num_patches == 256
+        assert cfg.lm.head_dim * cfg.lm.num_heads == cfg.lm.hidden_size
