@@ -1,0 +1,196 @@
+"""Data layer tests: tokenizer, vocab, masking golden, prompts, pipeline."""
+
+import numpy as np
+import pytest
+
+from unimp_tpu.data.masking import (
+    answer_span_labels,
+    answer_span_labels_reference,
+)
+from unimp_tpu.data.tokenizer import UniMPTokenizer
+from unimp_tpu.data.vocab import extend_vocabulary
+from unimp_tpu.tools import synth_data
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("synth")
+    synth_data.generate(str(d), n_items=32, n_users=24, image_size=28)
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def tokenizer(data_dir):
+    return synth_data.build_tokenizer(data_dir, n_items=32)
+
+
+def test_tokenizer_roundtrip_and_added_tokens(tokenizer):
+    tok = tokenizer
+    ids = tok.encode("<image> Category makeup Brand lumera <answer> item_7 <|endofchunk|>")
+    assert tok.media_token_id in ids
+    assert tok.answer_token_id in ids
+    assert tok.convert_tokens_to_ids("item_7") in ids
+    # special tokens skipped on decode
+    text = tok.decode(ids)
+    assert "<image>" not in text and "item_7" in text
+
+    # atomic longest-match: semantic ids concatenated without separators
+    ids2 = tok.encode("item_3item_17")
+    assert tok.convert_tokens_to_ids("item_3") in ids2
+    assert tok.convert_tokens_to_ids("item_17") in ids2
+    assert len([i for i in ids2 if i != tok.unk_token_id]) == 2
+
+    # img tokens carry the trailing comma (mmrec.py:578-581)
+    ids3 = tok.encode("img_789,img_591,")
+    assert ids3 == [
+        tok.convert_tokens_to_ids("img_789,"),
+        tok.convert_tokens_to_ids("img_591,"),
+    ]
+
+
+def test_vocab_counts():
+    tok = UniMPTokenizer.from_corpus(["hello world"])
+    base = len(tok)
+    n = extend_vocabulary(tok, subset="netflix")
+    # <answer> + 1870 items + 5 rates + 5 sel + 1024 img
+    assert n == 1 + 1870 + 5 + 5 + 1024
+    assert len(tok) == base + n
+
+
+def test_masking_matches_reference_loop():
+    rng = np.random.default_rng(0)
+    ANS, EOC, MEDIA, PAD = 3, 4, 5, 0
+    for _ in range(20):
+        ids = rng.integers(6, 50, size=(4, 64))
+        # sprinkle structure tokens
+        for row in ids:
+            pos = sorted(rng.choice(64, size=rng.integers(2, 12), replace=False))
+            for p in pos:
+                row[p] = rng.choice([ANS, EOC, MEDIA])
+            row[rng.integers(50, 64):] = PAD
+        got = np.asarray(answer_span_labels(ids, ANS, EOC, MEDIA, PAD))
+        want = answer_span_labels_reference(ids, ANS, EOC, MEDIA, PAD)
+        np.testing.assert_array_equal(got, want)
+
+
+def test_prompt_formats(data_dir, tokenizer):
+    import json
+    import os
+
+    from unimp_tpu.data.prompts import PromptBuilder
+
+    with open(os.path.join(data_dir, "meta_beauty.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(data_dir, "train_users.json")) as f:
+        users = json.load(f)
+    pb = PromptBuilder(
+        subset="all", meta_data=meta, history_len=5, n_items=32
+    )
+    rng = np.random.default_rng(0)
+    rec = list(users.values())[0]
+
+    s = pb.train_rec(rec, rng)
+    assert s.weight == 2.0
+    assert s.text.count("<image>") == 5
+    assert s.text.count("<answer>") == 6
+    assert s.text.count("<|endofchunk|>") == 5
+    assert "What is the next item recommended to the user? <answer> item_" in s.text
+    assert len(s.image_ids) == 5
+
+    e = pb.eval_rec(rec)
+    assert e.text.endswith("What is the next item recommended to the user? <answer>")
+    assert e.text.count("<image>") == 4  # seq[-5:-1]
+    assert e.target == f"item_{rec[-1][0]}"
+
+    s2 = pb.train_search(rec, rng)
+    assert "What is the related item ID to the query based on the history?" in s2.text
+    assert s2.weight == 1.0
+
+    s3 = pb.train_exp(rec, rng)
+    assert "What is the rating and explanation for the item? <answer> rate_" in s3.text
+    assert s3.text.count("<image>") == 5
+
+    e3 = pb.eval_exp(rec)
+    assert e3.target["rating"] == rec[-1][2]
+
+    # img_sel needs the [item_set, gt] trailer
+    with open(os.path.join(data_dir, "train_beauty_img_sel.json")) as f:
+        sel = json.load(f)
+    rec_sel = list(sel.values())[0]
+    s4 = pb.train_img_sel(rec_sel, rng)
+    assert s4.text.startswith("User history: ")
+    assert "Select from: " in s4.text
+    assert "Can you select the suitable item from above for the user? <answer> s_" in s4.text
+    assert s4.text.count("Selection s_") == 3
+    e4 = pb.eval_img_sel(rec_sel)
+    assert e4.text.count("Selection s_") == len(rec_sel[-1][-2])
+    assert e4.target == rec_sel[-1][-1]
+
+
+def test_img_gen_prompts(data_dir):
+    import json
+    import os
+
+    from unimp_tpu.data.prompts import PromptBuilder
+
+    with open(os.path.join(data_dir, "meta_beauty.json")) as f:
+        meta = json.load(f)
+    with open(os.path.join(data_dir, "img_id2semantic.json")) as f:
+        img_sem = json.load(f)
+    with open(os.path.join(data_dir, "search_merge_train.txt")) as f:
+        seqs = json.load(f)
+    pb = PromptBuilder(
+        subset="all", meta_data=meta, history_len=2, n_items=32,
+        img_id2semantic=img_sem,
+    )
+    rng = np.random.default_rng(0)
+    s = pb.train_img_gen(seqs[0], rng)
+    assert "What is the generated image ID to the query based on the history? <answer> img_" in s.text
+    assert s.text.count("<image>") == 2
+    e = pb.eval_img_gen(seqs[0])
+    assert e.text.endswith("Image ID to the query based on the history? <answer>")
+    assert e.target.startswith("img_")
+
+
+def test_dataset_and_loader(data_dir, tokenizer):
+    from unimp_tpu.data.dataset import TaskDataset
+    from unimp_tpu.data.loader import DataLoader
+
+    ds = TaskDataset(
+        data_dir, "beauty", ["img_sel", "search", "rec", "exp"], "train",
+        tokenizer, n_items=32, history_len=5, image_size=28,
+    )
+    assert len(ds) > 0
+    sample = ds[0]
+    assert sample["input_ids"].dtype == np.int32
+    assert sample["images"].ndim == 4
+
+    dl = DataLoader(ds, batch_size=4, pad_id=tokenizer.pad_token_id,
+                    num_workers=2, pad_to_multiple=32)
+    batch = next(iter(dl))
+    assert batch["input_ids"].shape[0] == 4
+    assert batch["input_ids"].shape[1] % 32 == 0
+    assert batch["images"].shape[0] == 4
+    assert (batch["seq_len"] > 0).all()
+    # bos/eos framing on train samples
+    assert (batch["input_ids"][:, 0] == tokenizer.bos_token_id).all()
+
+    # host sharding covers the dataset disjointly
+    dl0 = DataLoader(ds, batch_size=2, pad_id=0, shuffle=False,
+                     process_index=0, process_count=2, num_workers=0)
+    dl1 = DataLoader(ds, batch_size=2, pad_id=0, shuffle=False,
+                     process_index=1, process_count=2, num_workers=0)
+    assert len(dl0) + len(dl1) <= len(ds) // 2 + 1
+
+
+def test_eval_dataset(data_dir, tokenizer):
+    from unimp_tpu.data.dataset import TaskDataset
+
+    ds = TaskDataset(
+        data_dir, "beauty", "rec", "test", tokenizer,
+        n_items=32, history_len=5, image_size=28,
+    )
+    s = ds[0]
+    assert "target" in s and s["target"].startswith("item_")
+    # eval samples are unframed (no bos/eos), matching eval_rec protocol
+    assert s["input_ids"][0] != tokenizer.bos_token_id
