@@ -1,0 +1,16 @@
+"""Device mesh + sharding rules (DP/FSDP/TP over ICI; XLA collectives)."""
+
+from unimp_tpu.parallel.mesh import make_mesh, init_distributed
+from unimp_tpu.parallel.sharding import (
+    param_sharding,
+    batch_sharding,
+    partition_rules,
+)
+
+__all__ = [
+    "make_mesh",
+    "init_distributed",
+    "param_sharding",
+    "batch_sharding",
+    "partition_rules",
+]

@@ -1,0 +1,145 @@
+"""Sharded, jitted training step.
+
+The reference's hot loop (/root/reference/UniMP/mmrec.py:65-302) —
+label masking, forward, focal loss, backward, allreduce, clip, AdamW —
+compiles here into ONE XLA program per batch shape: the answer-span
+masking is vectorized on device (vs the reference's Python O(B·T) loop),
+images arrive uint8 and are CLIP-normalized on device, gradients are
+reduced over the mesh by XLA (vs explicit NCCL), and optimizer state
+lives sharded according to the parameter specs (ZeRO-equivalent).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from unimp_tpu.data.masking import answer_span_labels
+from unimp_tpu.data.transforms import normalize_on_device
+from unimp_tpu.models.flamingo import compute_q_media
+from unimp_tpu.parallel.sharding import batch_sharding, param_sharding
+from unimp_tpu.train.loss import masked_focal_loss
+from unimp_tpu.train.optimizer import embedding_row_mask_update
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: dict
+    opt_state: optax.OptState
+
+
+class Trainer:
+    """Owns the compiled train step and the sharded state."""
+
+    def __init__(
+        self,
+        model,
+        optimizer: optax.GradientTransformation,
+        *,
+        media_id: int,
+        answer_id: int,
+        endofchunk_id: int,
+        pad_id: int,
+        gamma: float = 2.0,
+        use_reweight: bool = False,
+        mask_lm_head: bool = False,
+        mesh=None,
+        gradient_accumulation_steps: int = 1,
+    ):
+        self.model = model
+        if gradient_accumulation_steps > 1:
+            optimizer = optax.MultiSteps(optimizer, gradient_accumulation_steps)
+        self.optimizer = optimizer
+        self.mesh = mesh
+        self.ids = dict(
+            media=media_id, answer=answer_id, eoc=endofchunk_id, pad=pad_id
+        )
+        self.gamma = gamma
+        self.use_reweight = use_reweight
+        self.mask_lm_head = mask_lm_head
+        self._step_fn = None
+
+    # ---------------- state ----------------
+
+    def init_state(self, rng, sample_batch) -> TrainState:
+        ids = jnp.asarray(sample_batch["input_ids"])
+        images = jnp.asarray(sample_batch["images"])
+        q_media = compute_q_media(ids, self.ids["media"])
+        params = self.model.init(
+            rng, ids, vision_x=normalize_on_device(images), q_media=q_media
+        )["params"]
+        opt_state = self.optimizer.init(params)
+        state = TrainState(step=jnp.int32(0), params=params, opt_state=opt_state)
+        if self.mesh is not None:
+            pshard = param_sharding(params, self.mesh)
+            params = jax.device_put(params, pshard)
+            # Re-init optimizer state under jit from the placed params:
+            # moment buffers inherit the parameter shardings (ZeRO-style),
+            # scalars stay replicated — XLA propagates from the inputs.
+            opt_state = jax.jit(self.optimizer.init)(params)
+            state = TrainState(step=jnp.int32(0), params=params, opt_state=opt_state)
+        return state
+
+    # ---------------- step ----------------
+
+    def _loss_fn(self, params, batch):
+        ids = batch["input_ids"]
+        labels = answer_span_labels(
+            ids, self.ids["answer"], self.ids["eoc"], self.ids["media"],
+            self.ids["pad"],
+        )
+        vision = normalize_on_device(batch["images"])
+        q_media = compute_q_media(ids, self.ids["media"])
+        logits, _ = self.model.apply(
+            {"params": params},
+            ids,
+            vision_x=vision,
+            q_media=q_media,
+            kv_len=batch["seq_len"],
+        )
+        return masked_focal_loss(
+            logits, labels, batch["weights"], self.gamma, self.use_reweight
+        )
+
+    def _make_step(self):
+        def step(state: TrainState, batch):
+            (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
+                state.params, batch
+            )
+            if self.mask_lm_head:
+                grads = embedding_row_mask_update(
+                    grads, state.params, self.ids["answer"]
+                )
+            updates, opt_state = self.optimizer.update(
+                grads, state.opt_state, state.params
+            )
+            params = optax.apply_updates(state.params, updates)
+            gnorm = optax.global_norm(grads)
+            metrics = {"loss": loss, "grad_norm": gnorm, **aux}
+            return (
+                TrainState(step=state.step + 1, params=params, opt_state=opt_state),
+                metrics,
+            )
+
+        return jax.jit(step, donate_argnums=(0,))
+
+    def train_step(self, state: TrainState, batch: dict):
+        if self._step_fn is None:
+            self._step_fn = self._make_step()
+        device_batch = self._device_batch(batch)
+        return self._step_fn(state, device_batch)
+
+    def _device_batch(self, batch: dict) -> dict:
+        keep = ("input_ids", "seq_len", "weights", "images")
+        out = {k: np.asarray(batch[k]) for k in keep}
+        if self.mesh is not None:
+            shard = batch_sharding(self.mesh)
+            out = {k: jax.device_put(v, shard) for k, v in out.items()}
+        return out
