@@ -181,3 +181,18 @@ def test_alibi_matches_ref():
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b_ in zip(g_flash, g_ref):
         np.testing.assert_allclose(a, b_, atol=3e-4, rtol=3e-4)
+
+
+def test_kv_start_window_matches_ref():
+    """Left-padded decode window [start, end) masking."""
+    b = 2
+    q, k, v = _make_qkv(b=b, sq=128, skv=256, seed=11)
+    kv_start = jnp.array([0, 64], jnp.int32)
+    kv_len = jnp.array([200, 256], jnp.int32)
+    out = flash_attention(
+        q, k, v, kv_len=kv_len, kv_start=kv_start, interpret=True
+    )
+    iota = jnp.arange(256)[None, :]
+    kv_valid = (iota < kv_len[:, None]) & (iota >= kv_start[:, None])
+    ref = attention_xla(q, k, v, AttnMask(kv_valid=kv_valid))
+    np.testing.assert_allclose(out, ref, atol=2e-5, rtol=2e-5)

@@ -129,6 +129,7 @@ class UniMPModel(nn.Module):
         vision_x: Optional[jax.Array] = None,
         q_media: Optional[jax.Array] = None,
         kv_len: Optional[jax.Array] = None,
+        kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
         caches: Optional[list] = None,
         cache_index: Optional[jax.Array] = None,
@@ -161,8 +162,8 @@ class UniMPModel(nn.Module):
                 x = xattn(x, latents_flat, q_media, kv_media)
             cache = caches[i] if caches is not None else None
             x, nc = block(
-                x, kv_len=kv_len, positions=positions, cache=cache,
-                cache_index=cache_index, causal=causal,
+                x, kv_len=kv_len, kv_start=kv_start, positions=positions,
+                cache=cache, cache_index=cache_index, causal=causal,
             )
             if new_caches is not None:
                 new_caches.append(nc)

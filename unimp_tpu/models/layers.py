@@ -123,6 +123,7 @@ class Attention(nn.Module):
         *,
         mask: Optional[AttnMask] = None,
         kv_len: Optional[jax.Array] = None,
+        kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
         cache: Optional[dict] = None,
         cache_index: Optional[jax.Array] = None,
@@ -170,7 +171,7 @@ class Attention(nn.Module):
                 kv_len = jnp.minimum(kv_len, written)
 
         out = multi_head_attention(
-            q, k, v, mask, kv_len=kv_len, alibi=alibi,
+            q, k, v, mask, kv_len=kv_len, kv_start=kv_start, alibi=alibi,
         )
         out_dim = self.out_dim or x.shape[-1]
         out = nn.DenseGeneral(

@@ -32,6 +32,7 @@ class DecoderBlock(nn.Module):
         x: jax.Array,
         *,
         kv_len: Optional[jax.Array] = None,
+        kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
         cache: Optional[dict] = None,
         cache_index: Optional[jax.Array] = None,
@@ -54,8 +55,8 @@ class DecoderBlock(nn.Module):
             # NeoX: x + attn(ln1 x) + mlp(ln2 x)
             h1 = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln1")(x)
             attn_out, new_cache = attn(
-                h1, mask=mask, kv_len=kv_len, positions=positions,
-                cache=cache, cache_index=cache_index,
+                h1, mask=mask, kv_len=kv_len, kv_start=kv_start,
+                positions=positions, cache=cache, cache_index=cache_index,
             )
             h2 = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln2")(x)
             mlp_out = Mlp(
@@ -65,8 +66,8 @@ class DecoderBlock(nn.Module):
             return x + attn_out + mlp_out, new_cache
         h = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln1")(x)
         attn_out, new_cache = attn(
-            h, mask=mask, kv_len=kv_len, positions=positions,
-            cache=cache, cache_index=cache_index,
+            h, mask=mask, kv_len=kv_len, kv_start=kv_start,
+            positions=positions, cache=cache, cache_index=cache_index,
         )
         x = x + attn_out
         h = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln2")(x)
@@ -97,6 +98,7 @@ class CausalLM(nn.Module):
         input_ids: jax.Array,
         *,
         kv_len: Optional[jax.Array] = None,
+        kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
         caches: Optional[list] = None,
         cache_index: Optional[jax.Array] = None,
@@ -115,8 +117,9 @@ class CausalLM(nn.Module):
             # position 0, which holds for prefill (cache_index == 0).
             # Single-token decode steps attend the whole valid prefix.
             x, nc = DecoderBlock(cfg, dtype=self.dtype, name=f"block_{i}")(
-                x, kv_len=kv_len, positions=positions, cache=cache,
-                cache_index=cache_index, causal=input_ids.shape[1] > 1,
+                x, kv_len=kv_len, kv_start=kv_start, positions=positions,
+                cache=cache, cache_index=cache_index,
+                causal=input_ids.shape[1] > 1,
             )
             if new_caches is not None:
                 new_caches.append(nc)

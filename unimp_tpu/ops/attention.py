@@ -38,6 +38,7 @@ def multi_head_attention(
     mask: Optional[AttnMask] = None,
     *,
     kv_len: Optional[jax.Array] = None,
+    kv_start: Optional[jax.Array] = None,
     alibi: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     impl: Optional[str] = None,
@@ -53,12 +54,17 @@ def multi_head_attention(
     impl = _resolve_impl(impl)
     mask = mask or AttnMask()
     if impl == "xla":
-        if kv_len is not None and mask.kv_valid is None:
+        if (kv_len is not None or kv_start is not None) and mask.kv_valid is None:
             skv = k.shape[1]
-            kv_valid = (
-                jax.lax.broadcasted_iota(jax.numpy.int32, (q.shape[0], skv), 1)
-                < kv_len[:, None]
+            iota = jax.lax.broadcasted_iota(
+                jax.numpy.int32, (q.shape[0], skv), 1
             )
+            kv_valid = None
+            if kv_len is not None:
+                kv_valid = iota < kv_len[:, None]
+            if kv_start is not None:
+                lo = iota >= kv_start[:, None]
+                kv_valid = lo if kv_valid is None else (kv_valid & lo)
             mask = AttnMask(
                 causal=mask.causal,
                 q_media=mask.q_media,
@@ -78,6 +84,7 @@ def multi_head_attention(
         v,
         causal=mask.causal,
         kv_len=kv_len,
+        kv_start=kv_start,
         q_media=mask.q_media,
         kv_media=mask.kv_media,
         media_mode=mask.media_mode,

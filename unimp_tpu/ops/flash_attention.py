@@ -16,7 +16,8 @@ kernel) and dq (q-major kernel) on the MXU.
 Supported masking (composable, computed on the fly from indices — no
 materialized [Sq, Skv] bias in HBM):
   * ``causal``       lower-triangular over absolute positions
-  * ``kv_len``       per-batch valid KV length (right padding)
+  * ``kv_len``/``kv_start``  per-batch valid KV window [start, end)
+                     (right padding; left-padded decode prompts)
   * media masking    per-position media indices; "immediate" restricts
                      text queries to latents of the most recent media,
                      "all_previous" to all preceding media (Flamingo).
@@ -59,7 +60,7 @@ def _block_mask(
     bk: int,
     *,
     causal: bool,
-    kv_len=None,
+    kv_bounds=None,
     q_media_blk=None,
     kv_media_blk=None,
     media_mode: Optional[str] = None,
@@ -74,8 +75,9 @@ def _block_mask(
     ki = kv_off + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
     if causal:
         allowed = _and(allowed, ki <= qi)
-    if kv_len is not None:
-        allowed = _and(allowed, ki < kv_len)
+    if kv_bounds is not None:
+        lo, hi = kv_bounds
+        allowed = _and(allowed, jnp.logical_and(ki >= lo, ki < hi))
     if media_mode is not None:
         qm = q_media_blk.reshape(bq, 1)
         km = kv_media_blk.reshape(1, bk)
@@ -96,7 +98,10 @@ def _read_smem_scalar(ref, idx, interp: bool):
     a ref-transform, so read the whole row and take() instead.
     """
     if interp:
-        return jnp.take(ref[...], idx)
+        flat = ref[...]
+        if isinstance(idx, tuple):
+            return jnp.take(flat.reshape(-1), idx[0] * flat.shape[-1] + idx[1])
+        return jnp.take(flat, idx)
     return ref[idx]
 
 
@@ -144,11 +149,13 @@ def _fwd_kernel(
     q_off = iq * bq
     kv_off = ik * bk
     # program_id is not interpretable inside pl.when bodies; read here.
-    kv_len_val = (
-        _read_smem_scalar(kv_len_ref, pl.program_id(0) // h, interp)
-        if has_kv_len
-        else None
-    )
+    kv_len_val = None
+    if has_kv_len:
+        bidx = pl.program_id(0) // h
+        kv_len_val = (
+            _read_smem_scalar(kv_len_ref, (bidx, 0), interp),
+            _read_smem_scalar(kv_len_ref, (bidx, 1), interp),
+        )
     alibi_slope = (
         _read_smem_scalar(slopes_ref, pl.program_id(0) % h, interp)
         if has_alibi
@@ -176,7 +183,7 @@ def _fwd_kernel(
             bq,
             bk,
             causal=causal,
-            kv_len=kv_len_val,
+            kv_bounds=kv_len_val,
             q_media_blk=q_media_ref[0] if media_mode else None,
             kv_media_blk=kv_media_ref[0] if media_mode else None,
             media_mode=media_mode,
@@ -257,11 +264,13 @@ def _bwd_dkv_kernel(
 
     q_off = iq * bq
     kv_off = ik * bk
-    kv_len_val = (
-        _read_smem_scalar(kv_len_ref, pl.program_id(0) // h, interp)
-        if has_kv_len
-        else None
-    )
+    kv_len_val = None
+    if has_kv_len:
+        bidx = pl.program_id(0) // h
+        kv_len_val = (
+            _read_smem_scalar(kv_len_ref, (bidx, 0), interp),
+            _read_smem_scalar(kv_len_ref, (bidx, 1), interp),
+        )
     alibi_slope = (
         _read_smem_scalar(slopes_ref, pl.program_id(0) % h, interp)
         if has_alibi
@@ -286,7 +295,7 @@ def _bwd_dkv_kernel(
         allowed = _block_mask(
             q_off, kv_off, bq, bk,
             causal=causal,
-            kv_len=kv_len_val,
+            kv_bounds=kv_len_val,
             q_media_blk=q_media_ref[0] if media_mode else None,
             kv_media_blk=kv_media_ref[0] if media_mode else None,
             media_mode=media_mode,
@@ -365,11 +374,13 @@ def _bwd_dq_kernel(
 
     q_off = iq * bq
     kv_off = ik * bk
-    kv_len_val = (
-        _read_smem_scalar(kv_len_ref, pl.program_id(0) // h, interp)
-        if has_kv_len
-        else None
-    )
+    kv_len_val = None
+    if has_kv_len:
+        bidx = pl.program_id(0) // h
+        kv_len_val = (
+            _read_smem_scalar(kv_len_ref, (bidx, 0), interp),
+            _read_smem_scalar(kv_len_ref, (bidx, 1), interp),
+        )
     alibi_slope = (
         _read_smem_scalar(slopes_ref, pl.program_id(0) % h, interp)
         if has_alibi
@@ -394,7 +405,7 @@ def _bwd_dq_kernel(
         allowed = _block_mask(
             q_off, kv_off, bq, bk,
             causal=causal,
-            kv_len=kv_len_val,
+            kv_bounds=kv_len_val,
             q_media_blk=q_media_ref[0] if media_mode else None,
             kv_media_blk=kv_media_ref[0] if media_mode else None,
             media_mode=media_mode,
@@ -440,8 +451,8 @@ def _qkv_specs(h, bq, bk, d, *, has_kv_len, has_alibi, media_mode, kv_major):
     k_spec = pl.BlockSpec((1, bk, d), lambda bh, o, i: (bh, ik_of(bh, o, i), 0))
     specs = [q_spec, k_spec, k_spec]
     if has_kv_len:
-        # kv_len is [B] int32, whole array in SMEM; kernels index it by
-        # program_id(0) // h (rank-1 sub-array blocks are not TPU-legal).
+        # kv bounds [B, 2] int32 (start, end), whole array in SMEM; kernels
+        # index by program_id(0) // h (sub-array SMEM blocks aren't legal).
         specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
     if has_alibi:
         # alibi slopes [H] f32, whole array in SMEM, indexed by head.
@@ -650,6 +661,7 @@ def flash_attention(
     *,
     causal: bool = False,
     kv_len: Optional[jax.Array] = None,
+    kv_start: Optional[jax.Array] = None,
     q_media: Optional[jax.Array] = None,
     kv_media: Optional[jax.Array] = None,
     media_mode: Optional[str] = None,
@@ -664,7 +676,8 @@ def flash_attention(
     Args:
       q: [B, Sq, H, D]; k, v: [B, Skv, Hkv, D] (Hkv == H or divides it).
       causal: lower-triangular masking over absolute positions.
-      kv_len: [B] int32 — valid KV length per batch row (right padding).
+      kv_len: [B] int32 — end of the valid KV window per batch row.
+      kv_start: [B] int32 — start of the valid KV window (left padding).
       q_media / kv_media: [B, Sq] / [B, Skv] int32 media indices.
       media_mode: None | "immediate" | "all_previous".
       alibi_slopes: [H] f32 per-head ALiBi slopes; adds slope*(ki-qi) to
@@ -693,14 +706,24 @@ def flash_attention(
     sq_p = _ceil_to(sq, block_q)
     skv_p = _ceil_to(skv, block_k)
 
-    if skv_p != skv and kv_len is None:
+    if (skv_p != skv or kv_start is not None) and kv_len is None:
         kv_len = jnp.full((b,), skv, jnp.int32)
+    if kv_len is not None and kv_start is None:
+        kv_start = jnp.zeros((b,), jnp.int32)
 
     # [B, S, H, D] -> [B*H, S, D]
     qt = _pad_seq(jnp.swapaxes(q, 1, 2), sq_p, axis=2).reshape(b * h, sq_p, d)
     kt = _pad_seq(jnp.swapaxes(k, 1, 2), skv_p, axis=2).reshape(b * h, skv_p, d)
     vt = _pad_seq(jnp.swapaxes(v, 1, 2), skv_p, axis=2).reshape(b * h, skv_p, d)
-    kv_len_arg = None if kv_len is None else kv_len.reshape(b).astype(jnp.int32)
+    kv_len_arg = (
+        None
+        if kv_len is None
+        else jnp.stack(
+            [kv_start.reshape(b).astype(jnp.int32),
+             kv_len.reshape(b).astype(jnp.int32)],
+            axis=1,
+        )
+    )
     qm = None if q_media is None else _pad_seq(q_media.astype(jnp.int32), sq_p, 1).reshape(b, 1, sq_p)
     km = None if kv_media is None else _pad_seq(
         kv_media.astype(jnp.int32), skv_p, 1, value=np.iinfo(np.int32).max
