@@ -1,0 +1,318 @@
+"""KV-cached generation: greedy + beam search, compiled to one XLA loop.
+
+TPU-native replacement for the reference's eval hot loop — HF
+``model.generate(num_beams=10, num_return_sequences=10, early_stopping,
+max_new_tokens, eos/pad)`` called per test user at batch size 1
+(/root/reference/UniMP/pipeline/eval/eval_rec.py:100-110,
+xformers_model/llama.py:835-880). Differences by design:
+
+  * the whole decode (prefill + token loop + beam bookkeeping + cache
+    reordering == HF ``_reorder_cache``) is a single jitted program
+    using ``lax.while_loop`` — no per-token Python
+  * prompts are left-aligned into a fixed window so MANY users decode
+    in one batch (the reference is locked to batch 1); the flash kernel
+    masks the KV window [start, end) per row
+  * beam-search semantics follow HF beam_search: top-2K candidate
+    expansion, EOS candidates with rank < K retire to the finished set
+    normalized by length^length_penalty, early_stopping=True stops a row
+    once K hypotheses are banked, the False heuristic compares the worst
+    banked score against the best attainable running score.
+
+Returns generated tokens only (no prompt), padded with pad_id.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1.0e9
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int
+    eos_id: int
+    pad_id: int
+    num_beams: int = 1
+    num_return_sequences: int = 1
+    length_penalty: float = 1.0
+    early_stopping: bool = True
+
+
+def left_align(input_ids, seq_len, pad_id):
+    """Right-padded rows -> left-padded (suffix-aligned) rows.
+
+    Returns (ids, start) where start[b] = T - seq_len[b].
+    """
+    t = input_ids.shape[1]
+    start = (t - seq_len).astype(jnp.int32)
+    shifted = jax.vmap(lambda row, s: jnp.roll(row, s))(input_ids, start)
+    # roll wraps pad tokens to the front; overwrite leading region with pad
+    pos = jnp.arange(t, dtype=jnp.int32)[None, :]
+    ids = jnp.where(pos < start[:, None], pad_id, shifted)
+    return ids, start
+
+
+class Generator:
+    """Compiled generate() over a UniMPModel."""
+
+    def __init__(self, model, gen_cfg: GenerationConfig, media_id: int):
+        self.model = model
+        self.cfg = gen_cfg
+        self.media_id = media_id
+        self._fn = None
+
+    # -------------------------------------------------- public
+
+    def generate(self, params, input_ids, seq_len, latents=None):
+        """input_ids [B, T] right-padded; seq_len [B]; latents [B,M,L,D].
+
+        Returns (tokens [B, R, max_new], scores [B, R]).
+        """
+        if self._fn is None:
+            self._fn = jax.jit(functools.partial(self._generate))
+        return self._fn(params, input_ids, seq_len, latents)
+
+    # -------------------------------------------------- internals
+
+    def _apply(self, params, tokens, *, latents, q_media, kv_start,
+               positions, caches, cache_index):
+        return self.model.apply(
+            {"params": params}, tokens, latents=latents, q_media=q_media,
+            kv_start=kv_start, positions=positions, caches=caches,
+            cache_index=cache_index,
+        )
+
+    def _generate(self, params, input_ids, seq_len, latents):
+        cfg = self.cfg
+        b, t = input_ids.shape
+        k = cfg.num_beams
+        max_new = cfg.max_new_tokens
+        max_len = t + max_new
+
+        ids, start = left_align(input_ids, seq_len, cfg.pad_id)
+        positions = jnp.maximum(
+            jnp.arange(t, dtype=jnp.int32)[None, :] - start[:, None], 0
+        )
+        q_media = None
+        n_media = None
+        if latents is not None:
+            from unimp_tpu.models.flamingo import compute_q_media
+
+            q_media = compute_q_media(ids, self.media_id)
+            n_media = q_media[:, -1]
+
+        caches = self.model.apply(
+            {"params": params}, b, max_len, method=type(self.model).init_caches
+        )
+        logits, caches = self._apply(
+            params, ids, latents=latents, q_media=q_media, kv_start=start,
+            positions=positions, caches=caches, cache_index=jnp.int32(0),
+        )
+        last_logits = logits[:, -1]  # last prompt token is at T-1 (left-pad)
+
+        if k == 1:
+            return self._greedy_loop(
+                params, last_logits, caches, start, latents, n_media, t
+            )
+        return self._beam_loop(
+            params, last_logits, caches, start, latents, n_media, t, seq_len
+        )
+
+    # ---------------- greedy ----------------
+
+    def _greedy_loop(self, params, last_logits, caches, start, latents,
+                     n_media, t):
+        cfg = self.cfg
+        b = last_logits.shape[0]
+        max_new = cfg.max_new_tokens
+
+        def cond(carry):
+            step, _, _, _, done, _ = carry
+            return (step < max_new) & ~jnp.all(done)
+
+        def body(carry):
+            step, tokens, logits, caches, done, scores = carry
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            nxt = jnp.where(done, cfg.pad_id, nxt)
+            scores = scores + jnp.where(
+                done, 0.0, jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
+            )
+            tokens = tokens.at[:, step].set(nxt)
+            done = done | (nxt == cfg.eos_id)
+            pos = (t + step - start)[:, None]
+            new_logits, caches = self._apply(
+                params, nxt[:, None], latents=latents,
+                q_media=None if n_media is None else n_media[:, None],
+                kv_start=start, positions=pos, caches=caches,
+                cache_index=t + step,
+            )
+            return step + 1, tokens, new_logits[:, 0], caches, done, scores
+
+        tokens0 = jnp.full((b, max_new), cfg.pad_id, jnp.int32)
+        done0 = jnp.zeros((b,), bool)
+        carry = (jnp.int32(0), tokens0, last_logits, caches, done0,
+                 jnp.zeros((b,), jnp.float32))
+        _, tokens, _, _, _, scores = jax.lax.while_loop(cond, body, carry)
+        return tokens[:, None, :], scores[:, None]
+
+    # ---------------- beam search ----------------
+
+    def _beam_loop(self, params, last_logits, caches, start, latents,
+                   n_media, t, seq_len):
+        cfg = self.cfg
+        b, v = last_logits.shape
+        k = cfg.num_beams
+        max_new = cfg.max_new_tokens
+        lp = cfg.length_penalty
+
+        def expand(x):
+            return jnp.repeat(x, k, axis=0) if x is not None else None
+
+        caches = jax.tree.map(expand, caches)
+        latents_k = expand(latents)
+        start_k = expand(start)
+        n_media_k = expand(n_media) if n_media is not None else None
+
+        # state
+        alive_tok = jnp.full((b, k, max_new), cfg.pad_id, jnp.int32)
+        alive_scores = jnp.concatenate(
+            [jnp.zeros((b, 1)), jnp.full((b, k - 1), NEG_INF)], axis=1
+        ).astype(jnp.float32)
+        fin_tok = jnp.full((b, k, max_new), cfg.pad_id, jnp.int32)
+        fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
+        fin_raw = jnp.full((b, k), NEG_INF, jnp.float32)  # unnormalized
+        fin_count = jnp.zeros((b,), jnp.int32)
+        done = jnp.zeros((b,), bool)
+        logits0 = jnp.repeat(last_logits, k, axis=0).reshape(b, k, v)
+
+        def cond(carry):
+            step = carry[0]
+            done = carry[7]
+            return (step < max_new) & ~jnp.all(done)
+
+        def body(carry):
+            (step, alive_tok, alive_scores, fin_tok, fin_scores, fin_raw,
+             fin_count, done, logits, caches) = carry
+
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            cand = alive_scores[:, :, None] + logp  # [B, K, V]
+            cand_flat = cand.reshape(b, k * v)
+            top_vals, top_idx = jax.lax.top_k(cand_flat, 2 * k)
+            src_beam = top_idx // v  # [B, 2K]
+            tok = (top_idx % v).astype(jnp.int32)
+            is_eos = tok == cfg.eos_id
+            rank = jnp.arange(2 * k)[None, :]
+
+            # ---- retire EOS candidates with rank < K to the finished set
+            # HF normalizes by the full hypothesis length at add() time:
+            # prompt_len + tokens generated so far (eos excluded).
+            hyp_len = (seq_len + step).astype(jnp.float32)[:, None]
+            cand_fin_score = jnp.where(
+                is_eos & (rank < k) & ~done[:, None],
+                top_vals / hyp_len**lp,
+                NEG_INF,
+            )
+            # candidate sequences: alive beam's tokens (eos not stored)
+            cand_seq = jnp.take_along_axis(
+                alive_tok, src_beam[:, :, None], axis=1
+            )  # [B, 2K, max_new]
+            # merge: [fin K ; cand 2K] -> keep top K by normalized score
+            all_scores = jnp.concatenate([fin_scores, cand_fin_score], axis=1)
+            all_raw = jnp.concatenate([fin_raw, jnp.where(
+                cand_fin_score > NEG_INF / 2, top_vals, NEG_INF)], axis=1)
+            all_seq = jnp.concatenate([fin_tok, cand_seq], axis=1)
+            keep_vals, keep_idx = jax.lax.top_k(all_scores, k)
+            new_fin_scores = keep_vals
+            new_fin_raw = jnp.take_along_axis(all_raw, keep_idx, axis=1)
+            new_fin_tok = jnp.take_along_axis(
+                all_seq, keep_idx[:, :, None], axis=1
+            )
+            new_fin_count = jnp.minimum(
+                fin_count + jnp.sum(cand_fin_score > NEG_INF / 2, axis=1), k
+            )
+
+            # ---- new alive: top K non-EOS candidates
+            alive_vals = jnp.where(is_eos, NEG_INF, top_vals)
+            a_vals, a_idx = jax.lax.top_k(alive_vals, k)  # over 2K
+            a_src = jnp.take_along_axis(src_beam, a_idx, axis=1)  # [B, K]
+            a_tok = jnp.take_along_axis(tok, a_idx, axis=1)
+            new_alive_tok = jnp.take_along_axis(
+                alive_tok, a_src[:, :, None], axis=1
+            )
+            new_alive_tok = new_alive_tok.at[:, :, step].set(a_tok)
+            # freeze rows that were already done
+            new_alive_tok = jnp.where(
+                done[:, None, None], alive_tok, new_alive_tok
+            )
+            new_alive_scores = jnp.where(done[:, None], alive_scores, a_vals)
+            new_fin_scores = jnp.where(done[:, None], fin_scores, new_fin_scores)
+            new_fin_raw = jnp.where(done[:, None], fin_raw, new_fin_raw)
+            new_fin_tok = jnp.where(done[:, None, None], fin_tok, new_fin_tok)
+            new_fin_count = jnp.where(done, fin_count, new_fin_count)
+
+            # ---- done condition
+            if cfg.early_stopping:
+                row_done = new_fin_count >= k
+            else:
+                # HF heuristic: the best attainable running score cannot
+                # beat the worst banked one.
+                best_running = jnp.max(new_alive_scores, axis=1) / (
+                    (seq_len.astype(jnp.float32) + step + 1) ** lp
+                )
+                worst_fin = jnp.min(new_fin_scores, axis=1)
+                row_done = (new_fin_count >= k) & (worst_fin >= best_running)
+            new_done = done | row_done
+
+            # ---- reorder caches by chosen source beams, advance one step
+            gather_idx = (
+                jnp.arange(b)[:, None] * k + a_src
+            ).reshape(b * k)
+
+            def reorder(x):
+                return jnp.take(x, gather_idx, axis=0)
+
+            caches = jax.tree.map(reorder, caches)
+            flat_tok = a_tok.reshape(b * k, 1)
+            # the token chosen this step occupies absolute position t+step
+            pos = (t + step - start_k)[:, None]
+            new_logits, caches = self._apply(
+                params, flat_tok, latents=latents_k,
+                q_media=None if n_media_k is None else n_media_k[:, None],
+                kv_start=start_k, positions=pos, caches=caches,
+                cache_index=t + step,
+            )
+
+            return (step + 1, new_alive_tok, new_alive_scores, new_fin_tok,
+                    new_fin_scores, new_fin_raw, new_fin_count, new_done,
+                    new_logits.reshape(b, k, v), caches)
+
+        carry = (jnp.int32(0), alive_tok, alive_scores, fin_tok, fin_scores,
+                 fin_raw, fin_count, done, logits0, caches)
+        (step, alive_tok, alive_scores, fin_tok, fin_scores, fin_raw,
+         fin_count, done, _, _) = jax.lax.while_loop(cond, body, carry)
+
+        # ---- finalize: fill with running beams where fewer than K banked
+        # (HF finalize: running beams added in score order).
+        run_norm = alive_scores / (
+            (seq_len.astype(jnp.float32)[:, None] + max_new) ** cfg.length_penalty
+        )
+        all_scores = jnp.concatenate([fin_scores, run_norm], axis=1)
+        # prefer banked hypotheses: running ones only fill empty slots
+        pref = jnp.where(
+            jnp.arange(2 * k)[None, :] < k,
+            jnp.where(all_scores > NEG_INF / 2, all_scores + 1e6, all_scores),
+            all_scores,
+        )
+        all_tok = jnp.concatenate([fin_tok, alive_tok], axis=1)
+        r = self.cfg.num_return_sequences
+        sel_vals, sel_idx = jax.lax.top_k(pref, r)
+        out_tok = jnp.take_along_axis(all_tok, sel_idx[:, :, None], axis=1)
+        out_scores = jnp.take_along_axis(all_scores, sel_idx, axis=1)
+        return out_tok, out_scores
