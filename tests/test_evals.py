@@ -1,0 +1,119 @@
+"""Eval tests: metric parity vs the reference implementations, text
+metrics sanity, and an end-to-end evaluator smoke on the debug model."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unimp_tpu.evals import metrics as M
+from unimp_tpu.evals import text_metrics as T
+
+
+def _ref_metrics():
+    """Literal ports of rec_metrics.py for golden comparison."""
+
+    def mrr_at_k(r, k):
+        r = np.asarray(r)[:k].nonzero()[0]
+        return 1.0 / (r[0] + 1) if len(r) else 0.0
+
+    def dcg_at_k(r, k):
+        r = np.asarray(r, float)[:k]
+        if r.size:
+            return np.sum(r / np.log2(np.arange(2, r.size + 2)))
+        return 0.0
+
+    def ndcg_at_k(r, k, len_gt):
+        sent = [1.0] * k if len_gt > k else [1.0] * len_gt + [0.0] * (k - len_gt)
+        dcg_max = dcg_at_k(sent, k)
+        if not dcg_max:
+            return 0.0
+        return dcg_at_k(r, k) / dcg_max
+
+    def hit_at_k(r, k):
+        return 1.0 if np.sum(np.array(r)[:k]) > 0 else 0.0
+
+    return mrr_at_k, ndcg_at_k, hit_at_k
+
+
+def test_rank_metrics_match_reference():
+    ref_mrr, ref_ndcg, ref_hit = _ref_metrics()
+    rng = np.random.default_rng(0)
+    for _ in range(50):
+        r = (rng.random(10) < 0.25).astype(int)
+        for k in (3, 5, 10):
+            assert M.mrr_at_k(r, k) == ref_mrr(r, k)
+            assert M.hit_at_k(r, k) == ref_hit(r, k)
+            for len_gt in (1, 2, 5):
+                np.testing.assert_allclose(
+                    M.ndcg_at_k(r, k, len_gt), ref_ndcg(r, k, len_gt)
+                )
+
+
+def test_text_metrics_sanity():
+    preds = ["the cat sat on the mat", "a quick brown fox"]
+    refs = ["the cat sat on the mat", "a quick brown dog"]
+    b = T.bleu(preds, refs)
+    assert b["precision1"] > 0.8
+    assert T.rouge_n(preds, refs, 1) > 0.8
+    assert T.rouge_n([preds[0]], [refs[0]], 2) == 1.0
+    assert T.rouge_l(preds, refs) > 0.8
+    assert T.meteor([preds[0]], [refs[0]]) > 0.9
+    assert T.meteor(["xyz"], ["abc"]) == 0.0
+    # perfect match scores 1.0 BLEU
+    assert T.bleu([preds[0]], [refs[0]])["bleu"] == pytest.approx(1.0)
+
+
+def test_evaluator_end_to_end(tmp_path):
+    """Full path: synthetic data -> loaders -> batched beam eval -> metrics."""
+    from unimp_tpu.data.dataset import TaskDataset
+    from unimp_tpu.data.loader import DataLoader
+    from unimp_tpu.evals import evaluate_exp, evaluate_img_sel, evaluate_rec
+    from unimp_tpu.models import UniMPModel, compute_q_media, get_config
+    from unimp_tpu.tools import synth_data
+
+    d = str(tmp_path)
+    synth_data.generate(d, n_items=24, n_users=12, image_size=28)
+    tok = synth_data.build_tokenizer(d, n_items=24)
+    cfg = get_config("debug", dtype="float32")
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 8))
+    model = UniMPModel(cfg)
+
+    ds = TaskDataset(d, "beauty", "rec", "test", tok, n_items=24,
+                     history_len=5, image_size=28, max_records=4)
+    dl = DataLoader(ds, batch_size=2, pad_id=tok.pad_token_id,
+                    shuffle=False, num_workers=0, pad_to_multiple=32,
+                    drop_last=False)
+
+    rng = jax.random.PRNGKey(0)
+    batch = next(iter(dl))
+    ids = jnp.asarray(batch["input_ids"])
+    from unimp_tpu.data.transforms import normalize_on_device
+
+    params = model.init(
+        rng, ids, vision_x=normalize_on_device(jnp.asarray(batch["images"])),
+        q_media=compute_q_media(ids, tok.media_token_id),
+    )["params"]
+
+    m = evaluate_rec(model, params, dl, tok, num_beams=3, max_new_tokens=4)
+    assert set(m) >= {"hr@3", "ndcg@5", "mrr@10", "items_per_sec", "n_users"}
+    assert m["n_users"] == 4
+    assert 0.0 <= m["hr@10"] <= 1.0
+
+    ds_exp = TaskDataset(d, "beauty", "exp", "test", tok, n_items=24,
+                         history_len=5, image_size=28, max_records=2)
+    dl_exp = DataLoader(ds_exp, batch_size=2, pad_id=tok.pad_token_id,
+                        shuffle=False, num_workers=0, drop_last=False)
+    m2 = evaluate_exp(model, params, dl_exp, tok, num_beams=2,
+                      max_new_tokens=6)
+    assert {"mae", "rmse", "bleu", "rouge1", "rougeL", "meteor"} <= set(m2)
+    assert m2["mae"] <= 4.0
+
+    ds_sel = TaskDataset(d, "beauty", "img_sel", "test", tok, n_items=24,
+                         history_len=5, image_size=28, max_records=2)
+    dl_sel = DataLoader(ds_sel, batch_size=2, pad_id=tok.pad_token_id,
+                        shuffle=False, num_workers=0, drop_last=False)
+    m3 = evaluate_img_sel(model, params, dl_sel, tok, max_new_tokens=4)
+    assert {"recall", "precision", "f1"} <= set(m3)
