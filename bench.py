@@ -1,0 +1,130 @@
+"""Benchmark: eval items/sec on the rec task (the north-star metric).
+
+Protocol follows the reference benchmark path (mmrec_eval.py ->
+eval_rec: 10-beam, 10-return, max 50 new tokens per user,
+/root/reference/UniMP/pipeline/eval/eval_rec.py:100-110) on synthetic
+data with the "small" model variant.
+
+vs_baseline compares the TPU-native batched decode against the
+reference's own protocol shape — batch_size=1, one user at a time
+(eval_rec.py runs every test user through generate() alone) — measured
+on the same hardware with the same jitted model, i.e. it isolates the
+framework-level win (batched left-aligned beam decode + compiled loop)
+from the hardware.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from unimp_tpu.data.dataset import TaskDataset
+    from unimp_tpu.data.loader import DataLoader
+    from unimp_tpu.data.transforms import normalize_on_device
+    from unimp_tpu.decode import GenerationConfig, Generator
+    from unimp_tpu.models import UniMPModel, compute_q_media, get_config
+    from unimp_tpu.tools import synth_data
+
+    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
+    n_users = int(os.environ.get("BENCH_USERS", "64"))
+    beams = int(os.environ.get("BENCH_BEAMS", "10"))
+    max_new = int(os.environ.get("BENCH_MAX_NEW", "50"))
+    baseline_users = int(os.environ.get("BENCH_BASELINE_USERS", "8"))
+
+    with tempfile.TemporaryDirectory() as d:
+        synth_data.generate(d, n_items=256, n_users=max(n_users, 64),
+                            image_size=64, seed=0)
+        tok = synth_data.build_tokenizer(d, n_items=256)
+        cfg = get_config("small")
+        cfg = cfg.replace(
+            lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 128)
+        )
+        model = UniMPModel(cfg)
+
+        ds = TaskDataset(d, "beauty", "rec", "test", tok, n_items=256,
+                         history_len=5, image_size=cfg.vision.image_size)
+        # replicate users to reach n_users
+        reps = (n_users + len(ds) - 1) // len(ds)
+        ds.records = (ds.records * reps)[:n_users]
+        ds.tasks = (ds.tasks * reps)[:n_users]
+
+        def make_loader(bs):
+            return DataLoader(
+                ds, batch_size=bs, pad_id=tok.pad_token_id, shuffle=False,
+                num_workers=4, pad_to_multiple=128, fixed_media=4,
+                drop_last=True,
+            )
+
+        rng = jax.random.PRNGKey(0)
+        probe = next(iter(make_loader(batch_size)))
+        ids = jnp.asarray(probe["input_ids"])
+        params = jax.jit(
+            lambda r: model.init(
+                r, ids,
+                vision_x=normalize_on_device(jnp.asarray(probe["images"])),
+                q_media=compute_q_media(ids, tok.media_token_id),
+            )["params"]
+        )(rng)
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new, eos_id=tok.eos_token_id,
+            pad_id=tok.eos_token_id, num_beams=beams,
+            num_return_sequences=beams,
+        )
+        gen = Generator(model, gen_cfg, media_id=tok.media_token_id)
+
+        def run(loader, limit):
+            encode = jax.jit(
+                lambda v: model.apply(
+                    {"params": params}, normalize_on_device(v),
+                    method=UniMPModel.encode_vision,
+                )
+            )
+            # warmup/compile on the first batch
+            it = iter(loader)
+            first = next(it)
+            lat = encode(jnp.asarray(first["images"]))
+            toks, _ = gen.generate(
+                params, jnp.asarray(first["input_ids"]),
+                jnp.asarray(first["seq_len"]), lat,
+            )
+            jax.block_until_ready(toks)
+            done = 0
+            t0 = time.perf_counter()
+            for batch in it:
+                lat = encode(jnp.asarray(batch["images"]))
+                toks, _ = gen.generate(
+                    params, jnp.asarray(batch["input_ids"]),
+                    jnp.asarray(batch["seq_len"]), lat,
+                )
+                jax.block_until_ready(toks)
+                done += batch["input_ids"].shape[0]
+                if done >= limit:
+                    break
+            dt = time.perf_counter() - t0
+            return done / dt if done else 0.0
+
+        batched_ips = run(make_loader(batch_size), n_users - batch_size)
+        baseline_ips = run(make_loader(1), baseline_users)
+
+    print(json.dumps({
+        "metric": "eval_items_per_sec_rec_beam10",
+        "value": round(batched_ips, 3),
+        "unit": "items/sec",
+        "vs_baseline": round(batched_ips / baseline_ips, 2) if baseline_ips else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

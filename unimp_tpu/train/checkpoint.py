@@ -1,0 +1,65 @@
+"""Orbax checkpointing: sharded save/restore of train state.
+
+Replaces the reference's rank-0 torch.save of a filtered state dict
+(/root/reference/UniMP/mmrec.py:873-894, train_utils.py:258-265):
+Orbax writes sharded arrays from every host in parallel and restores
+them onto the current mesh; the same epoch cadence and naming scheme
+(weights_epoch_{e}, final_weights) is kept so run layouts look familiar.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+
+def _ckptr():
+    return ocp.StandardCheckpointer()
+
+
+def save_params(save_dir: str, params: Any, name: str = "final_weights"):
+    path = os.path.join(os.path.abspath(save_dir), name)
+    ckptr = _ckptr()
+    ckptr.save(path, params, force=True)
+    ckptr.wait_until_finished()
+    return path
+
+
+def restore_params(save_dir: str, name: str, like: Optional[Any] = None):
+    path = os.path.join(os.path.abspath(save_dir), name)
+    ckptr = _ckptr()
+    if like is not None:
+        target = jax.tree.map(ocp.utils.to_shape_dtype_struct, like)
+        return ckptr.restore(path, target)
+    return ckptr.restore(path)
+
+
+def save_epoch(save_dir: str, params: Any, epoch: int):
+    """Reference cadence: weights_epoch_{e} per epoch (mmrec.py:873-881)."""
+    return save_params(save_dir, params, name=f"weights_epoch_{epoch}")
+
+
+def save_train_state(save_dir: str, state, epoch: int):
+    """Full resume checkpoint: params + optimizer state + step."""
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+        "epoch": epoch,
+    }
+    return save_params(save_dir, payload, name=f"checkpoint_{epoch}")
+
+
+def latest_checkpoint(save_dir: str) -> Optional[str]:
+    if not os.path.isdir(save_dir):
+        return None
+    cands = [
+        d for d in os.listdir(save_dir)
+        if d.startswith("checkpoint_") and d.split("_")[-1].isdigit()
+    ]
+    if not cands:
+        return None
+    return max(cands, key=lambda d: int(d.split("_")[-1]))
