@@ -55,37 +55,45 @@ def test_media_content_changes_logits_after_gate_opens():
     assert float(jnp.max(jnp.abs(l1 - l2))) > 1e-4
 
 
-def test_cached_decode_matches_full_forward():
+def test_split_cache_decode_matches_full_forward():
+    """Prefill on the first s-4 tokens, decode the rest one at a time via
+    the split prompt/gen cache; logits must match the full forward."""
     cfg, model, params, vision_x, ids, q_media = _setup(batch=1, seq=24)
     b, s = ids.shape
     latents = model.apply({"params": params}, vision_x, method=UniMPModel.encode_vision)
 
-    # full forward
     full_logits, _ = model.apply(
         {"params": params}, ids, latents=latents, q_media=q_media
     )
 
-    # prefill on first s-4 tokens, then decode the rest one at a time
-    max_len = 32
-    caches = model.apply({"params": params}, b, max_len, method=UniMPModel.init_caches)
     split = s - 4
     pre_ids = ids[:, :split]
     pre_pos = jnp.broadcast_to(jnp.arange(split, dtype=jnp.int32)[None], (b, split))
-    logits, caches = model.apply(
+    logits, kv = model.apply(
         {"params": params}, pre_ids, latents=latents, q_media=q_media[:, :split],
-        positions=pre_pos, caches=caches, cache_index=jnp.int32(0),
+        positions=pre_pos, return_kv=True,
     )
     np.testing.assert_allclose(
         logits, full_logits[:, :split], atol=2e-4, rtol=2e-4
     )
+
+    from unimp_tpu.models.flamingo import UniMPModel as UM
+
+    state = {
+        "self": kv["self"],
+        "xattn": kv["xattn"],
+        "kv_start": jnp.zeros((b,), jnp.int32),
+        "n_media": q_media[:, -1],
+        "kv_media": UM.kv_media_for(latents),
+    }
+    gen = model.init_gen_caches(b, 8)
     step_logits = []
-    for t in range(split, s):
+    for j, t in enumerate(range(split, s)):
         tok = ids[:, t : t + 1]
         pos = jnp.full((b, 1), t, jnp.int32)
-        lg, caches = model.apply(
-            {"params": params}, tok, latents=latents,
-            q_media=q_media[:, t : t + 1], positions=pos,
-            caches=caches, cache_index=jnp.int32(t),
+        lg, gen = model.apply(
+            {"params": params}, tok, positions=pos,
+            decode_state=dict(state, gen=gen, step=jnp.int32(j)),
         )
         step_logits.append(lg)
     step_logits = jnp.concatenate(step_logits, axis=1)

@@ -6,12 +6,15 @@ max_new_tokens, eos/pad)`` called per test user at batch size 1
 (/root/reference/UniMP/pipeline/eval/eval_rec.py:100-110,
 xformers_model/llama.py:835-880). Differences by design:
 
-  * the whole decode (prefill + token loop + beam bookkeeping + cache
-    reordering == HF ``_reorder_cache``) is a single jitted program
-    using ``lax.while_loop`` — no per-token Python
-  * prompts are left-aligned into a fixed window so MANY users decode
-    in one batch (the reference is locked to batch 1); the flash kernel
-    masks the KV window [start, end) per row
+  * the whole decode (prefill + token loop + beam bookkeeping) is a
+    single jitted program using ``lax.while_loop`` — no per-token Python
+  * prompts are left-aligned into a fixed window so MANY users decode in
+    one batch (the reference is locked to batch 1)
+  * the KV cache is SPLIT: prompt KV [B, T] is shared by all beams of a
+    row (never duplicated, never reordered) and only the generated KV
+    [B*K, max_new] is beam-reordered each step (HF ``_reorder_cache``
+    moves the full [B*K, T+max_new] cache instead) — see
+    unimp_tpu/ops/decode_attention.py
   * beam-search semantics follow HF beam_search: top-2K candidate
     expansion, EOS candidates with rank < K retire to the finished set
     normalized by length^length_penalty, early_stopping=True stops a row
@@ -24,7 +27,6 @@ Returns generated tokens only (no prompt), padded with pad_id.
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional
 
 import jax
@@ -59,7 +61,7 @@ def left_align(input_ids, seq_len, pad_id):
 
 
 class Generator:
-    """Compiled generate() over a UniMPModel."""
+    """Compiled generate() over a UniMPModel (or API-compatible model)."""
 
     def __init__(self, model, gen_cfg: GenerationConfig, media_id: int):
         self.model = model
@@ -75,17 +77,15 @@ class Generator:
         Returns (tokens [B, R, max_new], scores [B, R]).
         """
         if self._fn is None:
-            self._fn = jax.jit(functools.partial(self._generate))
+            self._fn = jax.jit(self._generate)
         return self._fn(params, input_ids, seq_len, latents)
 
     # -------------------------------------------------- internals
 
-    def _apply(self, params, tokens, *, latents, q_media, kv_start,
-               positions, caches, cache_index):
+    def _decode_step(self, params, tokens, state, gen, step, positions):
+        ds = dict(state, gen=gen, step=step)
         return self.model.apply(
-            {"params": params}, tokens, latents=latents, q_media=q_media,
-            kv_start=kv_start, positions=positions, caches=caches,
-            cache_index=cache_index,
+            {"params": params}, tokens, positions=positions, decode_state=ds
         )
 
     def _generate(self, params, input_ids, seq_len, latents):
@@ -93,7 +93,6 @@ class Generator:
         b, t = input_ids.shape
         k = cfg.num_beams
         max_new = cfg.max_new_tokens
-        max_len = t + max_new
 
         ids, start = left_align(input_ids, seq_len, cfg.pad_id)
         positions = jnp.maximum(
@@ -101,43 +100,45 @@ class Generator:
         )
         q_media = None
         n_media = None
+        kv_media = None
         if latents is not None:
-            from unimp_tpu.models.flamingo import compute_q_media
+            from unimp_tpu.models.flamingo import UniMPModel, compute_q_media
 
             q_media = compute_q_media(ids, self.media_id)
             n_media = q_media[:, -1]
+            kv_media = UniMPModel.kv_media_for(latents)
 
-        caches = self.model.apply(
-            {"params": params}, b, max_len, method=type(self.model).init_caches
-        )
-        logits, caches = self._apply(
-            params, ids, latents=latents, q_media=q_media, kv_start=start,
-            positions=positions, caches=caches, cache_index=jnp.int32(0),
+        logits, kv = self.model.apply(
+            {"params": params}, ids, latents=latents, q_media=q_media,
+            kv_start=start, positions=positions, return_kv=True,
         )
         last_logits = logits[:, -1]  # last prompt token is at T-1 (left-pad)
 
+        state = {
+            "self": kv["self"],
+            "xattn": kv.get("xattn", []),
+            "kv_start": start,
+            "n_media": n_media,
+            "kv_media": kv_media,
+        }
         if k == 1:
-            return self._greedy_loop(
-                params, last_logits, caches, start, latents, n_media, t
-            )
-        return self._beam_loop(
-            params, last_logits, caches, start, latents, n_media, t, seq_len
-        )
+            return self._greedy_loop(params, last_logits, state, start, t)
+        return self._beam_loop(params, last_logits, state, start, t, seq_len)
 
     # ---------------- greedy ----------------
 
-    def _greedy_loop(self, params, last_logits, caches, start, latents,
-                     n_media, t):
+    def _greedy_loop(self, params, last_logits, state, start, t):
         cfg = self.cfg
         b = last_logits.shape[0]
         max_new = cfg.max_new_tokens
+        gen0 = self.model.init_gen_caches(b, max_new)
 
         def cond(carry):
             step, _, _, _, done, _ = carry
             return (step < max_new) & ~jnp.all(done)
 
         def body(carry):
-            step, tokens, logits, caches, done, scores = carry
+            step, tokens, logits, gen, done, scores = carry
             logp = jax.nn.log_softmax(logits, axis=-1)
             nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
             nxt = jnp.where(done, cfg.pad_id, nxt)
@@ -147,59 +148,48 @@ class Generator:
             tokens = tokens.at[:, step].set(nxt)
             done = done | (nxt == cfg.eos_id)
             pos = (t + step - start)[:, None]
-            new_logits, caches = self._apply(
-                params, nxt[:, None], latents=latents,
-                q_media=None if n_media is None else n_media[:, None],
-                kv_start=start, positions=pos, caches=caches,
-                cache_index=t + step,
+            new_logits, gen = self._decode_step(
+                params, nxt[:, None], state, gen, step, pos
             )
-            return step + 1, tokens, new_logits[:, 0], caches, done, scores
+            return step + 1, tokens, new_logits[:, 0], gen, done, scores
 
         tokens0 = jnp.full((b, max_new), cfg.pad_id, jnp.int32)
         done0 = jnp.zeros((b,), bool)
-        carry = (jnp.int32(0), tokens0, last_logits, caches, done0,
+        carry = (jnp.int32(0), tokens0, last_logits, gen0, done0,
                  jnp.zeros((b,), jnp.float32))
         _, tokens, _, _, _, scores = jax.lax.while_loop(cond, body, carry)
         return tokens[:, None, :], scores[:, None]
 
     # ---------------- beam search ----------------
 
-    def _beam_loop(self, params, last_logits, caches, start, latents,
-                   n_media, t, seq_len):
+    def _beam_loop(self, params, last_logits, state, start, t, seq_len):
         cfg = self.cfg
         b, v = last_logits.shape
         k = cfg.num_beams
         max_new = cfg.max_new_tokens
         lp = cfg.length_penalty
 
-        def expand(x):
-            return jnp.repeat(x, k, axis=0) if x is not None else None
+        start_k = jnp.repeat(start, k, axis=0)  # positions only
+        gen0 = self.model.init_gen_caches(b * k, max_new)
 
-        caches = jax.tree.map(expand, caches)
-        latents_k = expand(latents)
-        start_k = expand(start)
-        n_media_k = expand(n_media) if n_media is not None else None
-
-        # state
         alive_tok = jnp.full((b, k, max_new), cfg.pad_id, jnp.int32)
         alive_scores = jnp.concatenate(
             [jnp.zeros((b, 1)), jnp.full((b, k - 1), NEG_INF)], axis=1
         ).astype(jnp.float32)
         fin_tok = jnp.full((b, k, max_new), cfg.pad_id, jnp.int32)
         fin_scores = jnp.full((b, k), NEG_INF, jnp.float32)
-        fin_raw = jnp.full((b, k), NEG_INF, jnp.float32)  # unnormalized
         fin_count = jnp.zeros((b,), jnp.int32)
         done = jnp.zeros((b,), bool)
         logits0 = jnp.repeat(last_logits, k, axis=0).reshape(b, k, v)
 
         def cond(carry):
             step = carry[0]
-            done = carry[7]
+            done = carry[6]
             return (step < max_new) & ~jnp.all(done)
 
         def body(carry):
-            (step, alive_tok, alive_scores, fin_tok, fin_scores, fin_raw,
-             fin_count, done, logits, caches) = carry
+            (step, alive_tok, alive_scores, fin_tok, fin_scores,
+             fin_count, done, logits, gen) = carry
 
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             cand = alive_scores[:, :, None] + logp  # [B, K, V]
@@ -219,18 +209,13 @@ class Generator:
                 top_vals / hyp_len**lp,
                 NEG_INF,
             )
-            # candidate sequences: alive beam's tokens (eos not stored)
             cand_seq = jnp.take_along_axis(
                 alive_tok, src_beam[:, :, None], axis=1
             )  # [B, 2K, max_new]
-            # merge: [fin K ; cand 2K] -> keep top K by normalized score
             all_scores = jnp.concatenate([fin_scores, cand_fin_score], axis=1)
-            all_raw = jnp.concatenate([fin_raw, jnp.where(
-                cand_fin_score > NEG_INF / 2, top_vals, NEG_INF)], axis=1)
             all_seq = jnp.concatenate([fin_tok, cand_seq], axis=1)
             keep_vals, keep_idx = jax.lax.top_k(all_scores, k)
             new_fin_scores = keep_vals
-            new_fin_raw = jnp.take_along_axis(all_raw, keep_idx, axis=1)
             new_fin_tok = jnp.take_along_axis(
                 all_seq, keep_idx[:, :, None], axis=1
             )
@@ -253,7 +238,6 @@ class Generator:
             )
             new_alive_scores = jnp.where(done[:, None], alive_scores, a_vals)
             new_fin_scores = jnp.where(done[:, None], fin_scores, new_fin_scores)
-            new_fin_raw = jnp.where(done[:, None], fin_raw, new_fin_raw)
             new_fin_tok = jnp.where(done[:, None, None], fin_tok, new_fin_tok)
             new_fin_count = jnp.where(done, fin_count, new_fin_count)
 
@@ -270,7 +254,7 @@ class Generator:
                 row_done = (new_fin_count >= k) & (worst_fin >= best_running)
             new_done = done | row_done
 
-            # ---- reorder caches by chosen source beams, advance one step
+            # ---- reorder ONLY the generated-token caches, advance a step
             gather_idx = (
                 jnp.arange(b)[:, None] * k + a_src
             ).reshape(b * k)
@@ -278,24 +262,21 @@ class Generator:
             def reorder(x):
                 return jnp.take(x, gather_idx, axis=0)
 
-            caches = jax.tree.map(reorder, caches)
+            gen = jax.tree.map(reorder, gen)
             flat_tok = a_tok.reshape(b * k, 1)
             # the token chosen this step occupies absolute position t+step
             pos = (t + step - start_k)[:, None]
-            new_logits, caches = self._apply(
-                params, flat_tok, latents=latents_k,
-                q_media=None if n_media_k is None else n_media_k[:, None],
-                kv_start=start_k, positions=pos, caches=caches,
-                cache_index=t + step,
+            new_logits, gen = self._decode_step(
+                params, flat_tok, state, gen, step, pos
             )
 
             return (step + 1, new_alive_tok, new_alive_scores, new_fin_tok,
-                    new_fin_scores, new_fin_raw, new_fin_count, new_done,
-                    new_logits.reshape(b, k, v), caches)
+                    new_fin_scores, new_fin_count, new_done,
+                    new_logits.reshape(b, k, v), gen)
 
         carry = (jnp.int32(0), alive_tok, alive_scores, fin_tok, fin_scores,
-                 fin_raw, fin_count, done, logits0, caches)
-        (step, alive_tok, alive_scores, fin_tok, fin_scores, fin_raw,
+                 fin_count, done, logits0, gen0)
+        (step, alive_tok, alive_scores, fin_tok, fin_scores,
          fin_count, done, _, _) = jax.lax.while_loop(cond, body, carry)
 
         # ---- finalize: fill with running beams where fewer than K banked
@@ -312,7 +293,7 @@ class Generator:
         )
         all_tok = jnp.concatenate([fin_tok, alive_tok], axis=1)
         r = self.cfg.num_return_sequences
-        sel_vals, sel_idx = jax.lax.top_k(pref, r)
+        _, sel_idx = jax.lax.top_k(pref, r)
         out_tok = jnp.take_along_axis(all_tok, sel_idx[:, :, None], axis=1)
         out_scores = jnp.take_along_axis(all_scores, sel_idx, axis=1)
         return out_tok, out_scores

@@ -7,13 +7,13 @@ perceiver resampler, and a causal LM whose every-Nth block is preceded
 by a tanh-gated cross-attention block over the resampled media latents
 (gates init 0 so the pretrained LM is unchanged at step 0).
 
-Interface parity with the reference model call
-(`model(vision_x, lang_x, attention_mask, labels)`, mmrec.py:177-181) is
-provided at the train/eval layer; this module is pure/functional:
-
-    latents           = model.encode_vision(vision_x)       # [B,M,L,Dv]
-    logits, caches    = model(input_ids, latents=latents,
-                              q_media=..., kv_len=..., ...)
+Three entry modes on __call__:
+  * full forward (training):       logits, None
+  * prefill (return_kv=True):      logits, {"self": [...], "xattn": [...]}
+    — per-layer prompt KV [B, T] and per-xattn-layer projected latent KV
+  * decode (decode_state=...):     logits, [updated gen caches]
+    — one token per beam against the SPLIT cache: shared prompt KV +
+    per-beam generated KV (see unimp_tpu/ops/decode_attention.py)
 
 Media masking: each text token cross-attends only to the latents of the
 most recent preceding <image> ("immediate", Flamingo semantics); the
@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from unimp_tpu.models.config import UniMPConfig
 from unimp_tpu.models.layers import Attention, Mlp, make_norm
-from unimp_tpu.models.lm import DecoderBlock, init_layer_cache
+from unimp_tpu.models.lm import DecoderBlock, init_gen_cache
 from unimp_tpu.models.perceiver import PerceiverResampler
 from unimp_tpu.models.vit import VisionTower
 from unimp_tpu.ops import AttnMask
@@ -48,6 +48,16 @@ def compute_q_media(input_ids: jax.Array, media_token_id: int) -> jax.Array:
     )
 
 
+def media_allowed(kv_media, n_media, mode: str):
+    """[B, S] decode-time latent mask: generated tokens attend the last
+    media ("immediate") or all media ("all_previous")."""
+    if mode == "immediate":
+        return kv_media == n_media[:, None]
+    if mode == "all_previous":
+        return (kv_media <= n_media[:, None]) & (kv_media > 0)
+    raise ValueError(mode)
+
+
 class GatedCrossAttnBlock(nn.Module):
     """tanh-gated cross-attention + gated FF (Flamingo)."""
 
@@ -58,23 +68,41 @@ class GatedCrossAttnBlock(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x, latents_flat, q_media, kv_media):
+    def __call__(
+        self,
+        x,
+        latents_flat=None,
+        q_media=None,
+        kv_media=None,
+        *,
+        return_cache: bool = False,
+        xattn_cache: Optional[dict] = None,
+        allowed: Optional[jax.Array] = None,
+    ):
         d = x.shape[-1]
         attn_gate = self.param("attn_gate", nn.initializers.zeros, (), jnp.float32)
         ff_gate = self.param("ff_gate", nn.initializers.zeros, (), jnp.float32)
         h = nn.LayerNorm(dtype=self.dtype, name="ln_attn")(x)
-        mask = AttnMask(q_media=q_media, kv_media=kv_media, media_mode=self.media_mode)
-        attn_out, _ = Attention(
+        attn = Attention(
             num_heads=self.num_heads, head_dim=self.head_dim, use_bias=False,
             dtype=self.dtype, name="xattn",
-        )(h, latents_flat, mask=mask)
+        )
+        if xattn_cache is not None:
+            attn_out, cache = attn(h, xattn_cache=xattn_cache, xattn_allowed=allowed)
+        else:
+            mask = AttnMask(
+                q_media=q_media, kv_media=kv_media, media_mode=self.media_mode
+            )
+            attn_out, cache = attn(
+                h, latents_flat, mask=mask, return_cache=return_cache
+            )
         x = x + jnp.tanh(attn_gate).astype(self.dtype) * attn_out
         h = nn.LayerNorm(dtype=self.dtype, name="ln_ff")(x)
         ff_out = Mlp(
             hidden=self.ff_mult * d, act="gelu", use_bias=False,
             dtype=self.dtype, name="mlp",
         )(h)
-        return x + jnp.tanh(ff_gate).astype(self.dtype) * ff_out
+        return x + jnp.tanh(ff_gate).astype(self.dtype) * ff_out, cache
 
 
 class UniMPModel(nn.Module):
@@ -121,6 +149,20 @@ class UniMPModel(nn.Module):
         lat = self.resampler(feats)  # [B*M, L, Dv]
         return lat.reshape(b, m, lat.shape[1], lat.shape[2])
 
+    def _logits(self, x):
+        x = self.final_ln(x)
+        if self.cfg.lm.tie_embeddings:
+            return self.embed.attend(x.astype(jnp.float32))
+        return self.lm_head(x.astype(jnp.float32))
+
+    @staticmethod
+    def kv_media_for(latents) -> jax.Array:
+        b, m, l, _ = latents.shape
+        return jnp.broadcast_to(
+            jnp.repeat(jnp.arange(1, m + 1, dtype=jnp.int32), l)[None, :],
+            (b, m * l),
+        )
+
     def __call__(
         self,
         input_ids: jax.Array,
@@ -131,15 +173,48 @@ class UniMPModel(nn.Module):
         kv_len: Optional[jax.Array] = None,
         kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
-        caches: Optional[list] = None,
-        cache_index: Optional[jax.Array] = None,
+        return_kv: bool = False,
+        decode_state: Optional[dict] = None,
     ):
-        """Returns (logits [B, S, V] float32, new_caches_or_None).
+        """Full forward, prefill, or single-token decode (see module doc).
 
-        Exactly one of `latents` (pre-encoded) / `vision_x` (raw pixels)
-        must be given unless the model is used text-only.
+        decode_state: {"self": [...], "xattn": [...], "gen": [...],
+        "step", "kv_start", "n_media", "kv_media"}.
         """
         cfg = self.cfg
+
+        # ---------- decode: one token per beam ----------
+        if decode_state is not None:
+            x = self.embed(input_ids)
+            allowed = None
+            if decode_state.get("kv_media") is not None:
+                allowed = media_allowed(
+                    decode_state["kv_media"], decode_state["n_media"],
+                    cfg.media_mode,
+                )
+            new_gen = []
+            xi = 0
+            for i, (block, xattn) in enumerate(zip(self.blocks, self.xattns)):
+                if xattn is not None:
+                    if allowed is not None:
+                        x, _ = xattn(
+                            x, xattn_cache=decode_state["xattn"][xi],
+                            allowed=allowed,
+                        )
+                    xi += 1
+                layer_ds = {
+                    "prompt": decode_state["self"][i],
+                    "gen": decode_state["gen"][i],
+                    "step": decode_state["step"],
+                    "kv_start": decode_state.get("kv_start"),
+                }
+                x, gc = block(
+                    x, positions=positions, decode_state=layer_ds,
+                )
+                new_gen.append(gc)
+            return self._logits(x), new_gen
+
+        # ---------- full / prefill ----------
         if latents is None and vision_x is not None:
             latents = self.encode_vision(vision_x)
 
@@ -147,35 +222,32 @@ class UniMPModel(nn.Module):
         if latents is not None:
             b, m, l, dv = latents.shape
             latents_flat = latents.reshape(b, m * l, dv)
-            kv_media = jnp.broadcast_to(
-                jnp.repeat(jnp.arange(1, m + 1, dtype=jnp.int32), l)[None, :],
-                (b, m * l),
-            )
+            kv_media = self.kv_media_for(latents)
             if q_media is None:
                 raise ValueError("q_media required when media is present")
 
         x = self.embed(input_ids)
         causal = input_ids.shape[1] > 1
-        new_caches = [] if caches is not None else None
+        self_caches, xattn_caches = [], []
         for i, (block, xattn) in enumerate(zip(self.blocks, self.xattns)):
             if xattn is not None and latents_flat is not None:
-                x = xattn(x, latents_flat, q_media, kv_media)
-            cache = caches[i] if caches is not None else None
-            x, nc = block(
+                x, xc = xattn(
+                    x, latents_flat, q_media, kv_media, return_cache=return_kv
+                )
+                if return_kv:
+                    xattn_caches.append(xc)
+            x, sc = block(
                 x, kv_len=kv_len, kv_start=kv_start, positions=positions,
-                cache=cache, cache_index=cache_index, causal=causal,
+                causal=causal, return_cache=return_kv,
             )
-            if new_caches is not None:
-                new_caches.append(nc)
-        x = self.final_ln(x)
-        if cfg.lm.tie_embeddings:
-            logits = self.embed.attend(x.astype(jnp.float32))
-        else:
-            logits = self.lm_head(x.astype(jnp.float32))
-        return logits, new_caches
+            self_caches.append(sc)
+        logits = self._logits(x)
+        if return_kv:
+            return logits, {"self": self_caches, "xattn": xattn_caches}
+        return logits, None
 
-    def init_caches(self, batch: int, max_len: int):
+    def init_gen_caches(self, batch: int, max_new: int):
         return [
-            init_layer_cache(batch, max_len, self.cfg.lm, self.cfg.compute_dtype)
+            init_gen_cache(batch, max_new, self.cfg.lm, self.cfg.compute_dtype)
             for _ in range(self.cfg.lm.num_layers)
         ]

@@ -2,8 +2,14 @@
 
 These are the building blocks for the vision tower, perceiver resampler
 and decoder LM. All matmuls run in the configured compute dtype
-(bfloat16 on TPU) with float32 params; attention dispatches to the
-Pallas flash kernel via unimp_tpu.ops.
+(bfloat16 on TPU) with float32 params.
+
+Attention has two modes:
+  * full (training / prefill): Pallas flash kernel; optionally returns
+    the projected K/V as the prompt cache.
+  * decode: single-token step against a SPLIT cache — shared prompt KV
+    [B, T] plus per-beam generated KV [B*K, G] — via
+    unimp_tpu.ops.decode_attention (see that module for why).
 """
 
 from __future__ import annotations
@@ -15,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from unimp_tpu.ops import AttnMask, multi_head_attention
+from unimp_tpu.ops.decode_attention import decode_attention, single_query_attention
 
 Dtype = Any
 
@@ -99,10 +106,11 @@ class Mlp(nn.Module):
 
 
 class Attention(nn.Module):
-    """Multi-head attention with optional KV cache and every mask mode.
+    """Multi-head attention over [B, S, H, D] with split-cache decode.
 
     Self-attention: pass only ``x`` (+ positions for RoPE).
-    Cross-attention: pass ``kv_x`` (e.g. resampled media latents).
+    Cross-attention: pass ``kv_x`` (e.g. resampled media latents), or a
+    precomputed ``xattn_cache`` during decode.
     """
 
     num_heads: int
@@ -115,6 +123,11 @@ class Attention(nn.Module):
     rope_theta: float = 10000.0
     dtype: Dtype = jnp.bfloat16
 
+    def _alibi(self):
+        from unimp_tpu.ops.attention_ref import alibi_slopes
+
+        return alibi_slopes(self.num_heads)
+
     @nn.compact
     def __call__(
         self,
@@ -125,11 +138,19 @@ class Attention(nn.Module):
         kv_len: Optional[jax.Array] = None,
         kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
-        cache: Optional[dict] = None,
-        cache_index: Optional[jax.Array] = None,
+        return_cache: bool = False,
+        decode_state: Optional[dict] = None,
+        xattn_cache: Optional[dict] = None,
+        xattn_allowed: Optional[jax.Array] = None,
     ):
-        """Returns (out [B, S, out_dim], new_cache_or_None)."""
-        kv_src = x if kv_x is None else kv_x
+        """Returns (out [B, S, out_dim], cache_or_None).
+
+        decode_state (self-attn decode): {"prompt": {"k","v"} [B,T,..],
+        "gen": {"k","v"} [BK,G,..], "step": scalar tokens generated so
+        far (current token excluded), "kv_start": [B]}.
+        xattn_cache (cross-attn decode): {"k","v"} [B,S,..] projected
+        latents; xattn_allowed: [B, S] mask.
+        """
         h, d = self.num_heads, self.head_dim
         hkv = self.num_kv_heads or h
         dense = lambda feats, name: nn.DenseGeneral(  # noqa: E731
@@ -137,6 +158,21 @@ class Attention(nn.Module):
             param_dtype=jnp.float32, name=name,
         )
         q = dense((h, d), "q_proj")(x)
+
+        out_dim = self.out_dim or x.shape[-1]
+        o_proj = nn.DenseGeneral(
+            out_dim, axis=(-2, -1), use_bias=self.use_bias, dtype=self.dtype,
+            param_dtype=jnp.float32, name="o_proj",
+        )
+
+        # ---- cross-attention decode against cached projected latents
+        if xattn_cache is not None:
+            out = single_query_attention(
+                q[:, 0], xattn_cache["k"], xattn_cache["v"], xattn_allowed
+            )
+            return o_proj(out[:, None]), None
+
+        kv_src = x if kv_x is None else kv_x
         k = dense((hkv, d), "k_proj")(kv_src)
         v = dense((hkv, d), "v_proj")(kv_src)
 
@@ -149,33 +185,34 @@ class Attention(nn.Module):
             q = apply_rope(q, positions, self.rotary_pct, self.rope_theta)
             k = apply_rope(k, positions, self.rotary_pct, self.rope_theta)
         elif self.positions_mode == "alibi":
-            from unimp_tpu.ops.attention_ref import alibi_slopes
+            alibi = self._alibi()
 
-            alibi = alibi_slopes(h)
+        # ---- self-attention decode: split prompt/gen cache
+        if decode_state is not None:
+            step = decode_state["step"]
+            gen_k = jax.lax.dynamic_update_slice(
+                decode_state["gen"]["k"], k.astype(decode_state["gen"]["k"].dtype),
+                (0, step, 0, 0),
+            )
+            gen_v = jax.lax.dynamic_update_slice(
+                decode_state["gen"]["v"], v.astype(decode_state["gen"]["v"].dtype),
+                (0, step, 0, 0),
+            )
+            out = decode_attention(
+                q[:, 0],
+                decode_state["prompt"]["k"],
+                decode_state["prompt"]["v"],
+                gen_k,
+                gen_v,
+                step=step + 1,
+                kv_start=decode_state.get("kv_start"),
+                alibi=alibi,
+            )
+            return o_proj(out[:, None]), {"k": gen_k, "v": gen_v}
 
-        new_cache = None
-        if cache is not None:
-            # cache: {"k": [B, Smax, Hkv, D], "v": ...}; write at cache_index.
-            idx = cache_index if cache_index is not None else jnp.int32(0)
-            ck = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype),
-                                              (0, idx, 0, 0))
-            cv = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype),
-                                              (0, idx, 0, 0))
-            new_cache = {"k": ck, "v": cv}
-            k, v = ck, cv
-            # valid KV prefix = tokens written so far
-            written = idx + x.shape[1]
-            if kv_len is None:
-                kv_len = jnp.full((x.shape[0],), written, jnp.int32)
-            else:
-                kv_len = jnp.minimum(kv_len, written)
-
+        # ---- full / prefill
         out = multi_head_attention(
             q, k, v, mask, kv_len=kv_len, kv_start=kv_start, alibi=alibi,
         )
-        out_dim = self.out_dim or x.shape[-1]
-        out = nn.DenseGeneral(
-            out_dim, axis=(-2, -1), use_bias=self.use_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, name="o_proj",
-        )(out)
-        return out, new_cache
+        cache = {"k": k, "v": v} if return_cache else None
+        return o_proj(out), cache

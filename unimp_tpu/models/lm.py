@@ -5,8 +5,8 @@ One parameterized block covers the reference's backbones (see
 sequential residual, no biases), GPT-NeoX/RedPajama (layernorm+partial
 RoPE, parallel attn+mlp residual, biases), and LLaMA-style
 (RMSNorm+RoPE+SwiGLU) for the framework's own configs. Self-attention
-runs through the shared Pallas flash kernel; KV caches are functional
-(passed in / returned) for jit-able decode loops.
+runs through the shared Pallas flash kernel in full/prefill mode and
+through the split-cache decode op during generation.
 """
 
 from __future__ import annotations
@@ -34,10 +34,12 @@ class DecoderBlock(nn.Module):
         kv_len: Optional[jax.Array] = None,
         kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
-        cache: Optional[dict] = None,
-        cache_index: Optional[jax.Array] = None,
         causal: bool = True,
+        return_cache: bool = False,
+        decode_state: Optional[dict] = None,
     ):
+        """Returns (x, cache): prompt KV when return_cache, updated gen
+        cache in decode mode, else None."""
         cfg = self.cfg
         attn = Attention(
             num_heads=cfg.num_heads,
@@ -50,44 +52,43 @@ class DecoderBlock(nn.Module):
             dtype=self.dtype,
             name="attn",
         )
-        mask = AttnMask(causal=causal)
+        mask = AttnMask(causal=causal and decode_state is None)
+        kwargs = dict(
+            mask=mask, kv_len=kv_len, kv_start=kv_start, positions=positions,
+            return_cache=return_cache, decode_state=decode_state,
+        )
         if cfg.parallel_block:
             # NeoX: x + attn(ln1 x) + mlp(ln2 x)
             h1 = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln1")(x)
-            attn_out, new_cache = attn(
-                h1, mask=mask, kv_len=kv_len, kv_start=kv_start,
-                positions=positions, cache=cache, cache_index=cache_index,
-            )
+            attn_out, cache = attn(h1, **kwargs)
             h2 = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln2")(x)
             mlp_out = Mlp(
                 hidden=cfg.mlp_dim, act=cfg.act, use_bias=cfg.use_bias,
                 dtype=self.dtype, name="mlp",
             )(h2)
-            return x + attn_out + mlp_out, new_cache
+            return x + attn_out + mlp_out, cache
         h = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln1")(x)
-        attn_out, new_cache = attn(
-            h, mask=mask, kv_len=kv_len, kv_start=kv_start,
-            positions=positions, cache=cache, cache_index=cache_index,
-        )
+        attn_out, cache = attn(h, **kwargs)
         x = x + attn_out
         h = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln2")(x)
         x = x + Mlp(
             hidden=cfg.mlp_dim, act=cfg.act, use_bias=cfg.use_bias,
             dtype=self.dtype, name="mlp",
         )(h)
-        return x, new_cache
+        return x, cache
 
 
-def init_layer_cache(batch: int, max_len: int, cfg: LMConfig, dtype=jnp.bfloat16):
+def init_gen_cache(batch: int, max_new: int, cfg: LMConfig, dtype=jnp.bfloat16):
+    """Per-layer generated-token KV cache [B*, max_new, Hkv, D]."""
     return {
-        "k": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
-        "v": jnp.zeros((batch, max_len, cfg.kv_heads, cfg.head_dim), dtype),
+        "k": jnp.zeros((batch, max_new, cfg.kv_heads, cfg.head_dim), dtype),
+        "v": jnp.zeros((batch, max_new, cfg.kv_heads, cfg.head_dim), dtype),
     }
 
 
 class CausalLM(nn.Module):
-    """Pure-text causal LM (used standalone in tests; the multimodal
-    model in flamingo.py builds its own interleaved stack)."""
+    """Pure-text causal LM (the multimodal model in flamingo.py builds
+    its own interleaved stack); supports the same prefill/decode API."""
 
     cfg: LMConfig
     dtype: jnp.dtype = jnp.bfloat16
@@ -100,8 +101,8 @@ class CausalLM(nn.Module):
         kv_len: Optional[jax.Array] = None,
         kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
-        caches: Optional[list] = None,
-        cache_index: Optional[jax.Array] = None,
+        return_kv: bool = False,
+        decode_state: Optional[dict] = None,
     ):
         cfg = self.cfg
         embed = nn.Embed(
@@ -109,20 +110,22 @@ class CausalLM(nn.Module):
             param_dtype=jnp.float32, name="embed",
         )
         x = embed(input_ids)
-        new_caches = [] if caches is not None else None
+        caches = []
         for i in range(cfg.num_layers):
-            cache = caches[i] if caches is not None else None
-            # Causal masking matters only for multi-token inputs; the
-            # kernel's causal offset assumes the q chunk starts at kv
-            # position 0, which holds for prefill (cache_index == 0).
-            # Single-token decode steps attend the whole valid prefix.
-            x, nc = DecoderBlock(cfg, dtype=self.dtype, name=f"block_{i}")(
+            layer_ds = None
+            if decode_state is not None:
+                layer_ds = {
+                    "prompt": decode_state["self"][i],
+                    "gen": decode_state["gen"][i],
+                    "step": decode_state["step"],
+                    "kv_start": decode_state.get("kv_start"),
+                }
+            x, cache = DecoderBlock(cfg, dtype=self.dtype, name=f"block_{i}")(
                 x, kv_len=kv_len, kv_start=kv_start, positions=positions,
-                cache=cache, cache_index=cache_index,
                 causal=input_ids.shape[1] > 1,
+                return_cache=return_kv, decode_state=layer_ds,
             )
-            if new_caches is not None:
-                new_caches.append(nc)
+            caches.append(cache)
         x = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "final_ln")(x)
         if cfg.tie_embeddings:
             logits = embed.attend(x.astype(jnp.float32))
@@ -131,4 +134,8 @@ class CausalLM(nn.Module):
                 cfg.vocab_size, use_bias=False, dtype=jnp.float32,
                 param_dtype=jnp.float32, name="lm_head",
             )(x.astype(jnp.float32))
-        return logits, new_caches
+        if return_kv:
+            return logits, {"self": caches}
+        if decode_state is not None:
+            return logits, caches  # updated gen caches
+        return logits, None

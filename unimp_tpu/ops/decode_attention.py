@@ -1,0 +1,152 @@
+"""Split-cache decode attention (single-query, two KV segments).
+
+The decode-path bottleneck in beam search is HBM traffic: a naive
+[B*K, max_len] KV cache (a) duplicates the prompt KV K times and (b)
+must be physically reordered by beam index every step (HF
+`_reorder_cache`, /root/reference/UniMP/xformers_model/llama.py:871).
+With a 400-token prompt and 50 generated tokens, ~90% of that traffic is
+redundant.
+
+This op splits the cache:
+
+  prompt KV  [B, T]        — shared by all K beams of a row, written once
+                             at prefill, NEVER reordered or duplicated
+  gen KV     [B*K, G]      — only the generated tokens (G = max_new),
+                             reordered per step (tiny)
+
+and computes single-query attention as two partial attentions merged by
+their logsumexps (the flash-attention combine identity). All math is
+plain XLA einsums — a batched GEMV the TPU backend fuses well; the
+Pallas flash kernel stays the prefill/training path.
+
+ALiBi biases use consistent absolute positions across both segments so
+the merge weights are exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _expand_kv(k, v, h):
+    hkv = k.shape[-2]
+    if hkv != h:
+        rep = h // hkv
+        k = jnp.repeat(k, rep, axis=-2)
+        v = jnp.repeat(v, rep, axis=-2)
+    return k, v
+
+
+def _beam_segment_attn(q, k, v, mask, scale, bias=None):
+    """q [B, K, H, D]; k,v [B, S, H, D]; mask [B, S]; bias [B?|1, H, S].
+
+    Returns (out [B, K, H, D] f32 UNnormalized, m [B, K, H], l [B, K, H]).
+    """
+    logits = jnp.einsum(
+        "bkhd,bshd->bkhs", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    if bias is not None:
+        logits = logits + bias[:, None, :, :]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1)
+    p = jnp.exp(logits - m[..., None])
+    p = jnp.where(mask[:, None, None, :], p, 0.0)
+    l = jnp.sum(p, axis=-1)
+    out = jnp.einsum(
+        "bkhs,bshd->bkhd", p.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    )
+    return out, m, l
+
+
+def single_query_attention(
+    q: jax.Array,  # [BK, H, D]
+    k: jax.Array,  # [B, S, Hkv, D] (shared across the K beams of a row)
+    v: jax.Array,
+    mask: jax.Array,  # [B, S] bool, True = allowed
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Single-segment single-query attention with beam-shared KV.
+
+    Used for decode-time gated cross-attention: the projected media
+    latents are identical for all beams of a batch row, so the KV is
+    read once per row rather than once per beam.
+    """
+    bk, h, d = q.shape
+    b, s = k.shape[:2]
+    k, v = _expand_kv(k, v, h)
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    q_r = q.reshape(b, bk // b, h, d)
+    out, m, l = _beam_segment_attn(q_r, k, v, mask, scale)
+    denom = jnp.where(l > 0, l, 1.0)
+    out = (out / denom[..., None]).reshape(bk, h, d)
+    return out.astype(q.dtype)
+
+
+def decode_attention(
+    q: jax.Array,  # [BK, H, D] current-step queries (RoPE already applied)
+    prompt_k: jax.Array,  # [B, T, Hkv, D]
+    prompt_v: jax.Array,
+    gen_k: jax.Array,  # [BK, G, Hkv, D] (this step's k/v already written)
+    gen_v: jax.Array,
+    *,
+    step: jax.Array,  # scalar: tokens generated so far INCLUDING current
+    kv_start: Optional[jax.Array] = None,  # [B] left-pad offsets
+    prompt_len: Optional[jax.Array] = None,  # [B] valid prompt length (<=T)
+    alibi: Optional[jax.Array] = None,  # [H] slopes
+    scale: Optional[float] = None,
+) -> jax.Array:
+    """Returns [BK, H, D] attention outputs in q.dtype."""
+    bk, h, d = q.shape
+    b, t = prompt_k.shape[:2]
+    g = gen_k.shape[1]
+    k_beams = bk // b
+    prompt_k, prompt_v = _expand_kv(prompt_k, prompt_v, h)
+    gen_k, gen_v = _expand_kv(gen_k, gen_v, h)
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    q_abs = t + step - 1  # absolute position of the current token
+
+    # ---- prompt segment: KV shared across beams
+    pos_p = jnp.arange(t, dtype=jnp.int32)[None, :]  # [1, T]
+    mask_p = jnp.ones((b, t), bool)
+    if kv_start is not None:
+        mask_p &= pos_p >= kv_start[:, None]
+    if prompt_len is not None:
+        mask_p &= pos_p < prompt_len[:, None]
+    bias_p = None
+    if alibi is not None:
+        ki = pos_p.astype(jnp.float32)  # [1, T]
+        bias_p = alibi[None, :, None] * (ki[:, None, :] - q_abs)  # [1, H, T]
+    q_r = q.reshape(b, k_beams, h, d)
+    out_p, m_p, l_p = _beam_segment_attn(q_r, prompt_k, prompt_v, mask_p,
+                                         scale, bias_p)
+
+    # ---- generated segment: per-beam KV ([BK] folded as batch, K=1)
+    pos_g = jnp.arange(g, dtype=jnp.int32)[None, :]
+    mask_g = jnp.broadcast_to(pos_g < step, (bk, g))
+    bias_g = None
+    if alibi is not None:
+        ki_g = (t + pos_g).astype(jnp.float32)
+        bias_g = alibi[None, :, None] * (ki_g[:, None, :] - q_abs)
+    out_g, m_g, l_g = _beam_segment_attn(
+        q[:, None], gen_k, gen_v, mask_g, scale, bias_g
+    )
+    out_g = out_g.reshape(b, k_beams, h, d)
+    m_g = m_g.reshape(b, k_beams, h)
+    l_g = l_g.reshape(b, k_beams, h)
+
+    # ---- merge the two segments by logsumexp
+    m = jnp.maximum(m_p, m_g)
+    a_p = jnp.exp(m_p - m)
+    a_g = jnp.exp(m_g - m)
+    l = l_p * a_p + l_g * a_g
+    denom = jnp.where(l > 0, l, 1.0)
+    out = (out_p * a_p[..., None] + out_g * a_g[..., None]) / denom[..., None]
+    return out.reshape(bk, h, d).astype(q.dtype)
