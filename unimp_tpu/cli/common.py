@@ -1,0 +1,118 @@
+"""Shared CLI setup: tokenizer, vocab, model, loaders, mesh.
+
+Mirrors the setup sections of the reference entry points
+(/root/reference/UniMP/mmrec.py:475-608: model build per variant, vocab
+extension + embedding resize, loader construction)."""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+import jax
+
+from unimp_tpu.cli.arguments import variant_name
+from unimp_tpu.data.dataset import TaskDataset
+from unimp_tpu.data.loader import DataLoader
+from unimp_tpu.data.tokenizer import UniMPTokenizer
+from unimp_tpu.data.vocab import extend_vocabulary
+from unimp_tpu.models import UniMPModel, get_config
+from unimp_tpu.parallel import make_mesh
+
+
+def build_tokenizer(args) -> UniMPTokenizer:
+    if args.tokenizer_path:
+        tok = UniMPTokenizer.load(args.tokenizer_path)
+    else:
+        corpus_path = os.path.join(args.mmrec_path, "corpus.txt")
+        if os.path.exists(corpus_path):
+            with open(corpus_path) as f:
+                corpus = f.read().splitlines()
+        else:
+            # fall back to item metadata as the corpus
+            import json
+
+            with open(os.path.join(args.mmrec_path, f"meta_{args.subset}.json")) as f:
+                meta = json.load(f)
+            corpus = [
+                " ".join(str(v) for v in (m.values() if isinstance(m, dict) else m))
+                for m in meta.values()
+            ]
+        tok = UniMPTokenizer.from_corpus(corpus)
+    extend_vocabulary(
+        tok, subset=args.subset, use_semantic=args.use_semantic,
+        task=args.task, n_items=args.n_items,
+        transfer_domain=getattr(args, "transfer_domain", None),
+    )
+    return tok
+
+
+def build_model(args, tokenizer) -> UniMPModel:
+    cfg = get_config(variant_name(args))
+    overrides = {}
+    if args.cross_attn_every_n_layers:
+        overrides["cross_attn_every_n"] = args.cross_attn_every_n_layers
+    if args.precision in ("fp32", "amp"):
+        overrides["dtype"] = "float32"
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    # embedding resize equivalent (mmrec.py:595): size the vocab to the
+    # extended tokenizer, padded up for MXU-friendly lm-head tiling.
+    vocab = ((len(tokenizer) + 127) // 128) * 128
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=vocab))
+    return UniMPModel(cfg)
+
+
+def build_mesh(args):
+    return make_mesh(dp=None, fsdp=args.mesh_fsdp, tp=args.mesh_tp)
+
+
+def make_dataset(args, tokenizer, split: str, task=None) -> TaskDataset:
+    return TaskDataset(
+        args.mmrec_path,
+        args.subset,
+        task if task is not None else args.task,
+        split,
+        tokenizer,
+        use_semantic=args.use_semantic,
+        image_size=args.patch_image_size,
+        seed=args.pretrain_seed,
+        history_len=args.history_len,
+        n_items=args.n_items,
+        max_records=args.max_records,
+    )
+
+
+def make_loader(args, ds, tokenizer, *, train: bool) -> DataLoader:
+    return DataLoader(
+        ds,
+        batch_size=args.batch_size if train else args.eval_batch_size,
+        pad_id=tokenizer.pad_token_id,
+        shuffle=train,
+        seed=args.seed,
+        drop_last=train,
+        num_workers=args.workers,
+        pad_to_multiple=128,
+        max_text_len=args.max_src_length,
+        process_index=jax.process_index(),
+        process_count=jax.process_count(),
+    )
+
+
+def multi_task_list(args):
+    """Reference multi-task order (rec_dataset.py:180-206 consumes the
+    list; unimp_all_tasks.sh passes img_sel,search,rec,exp)."""
+    if args.single_task:
+        return args.task
+    return ["img_sel", "search", "rec", "exp"]
+
+
+def curriculum_tasks(epoch: int, num_epochs: int):
+    """--train_method continue schedule (mmrec.py:743-755)."""
+    if epoch <= num_epochs // 4:
+        return ["rec"]
+    if epoch <= num_epochs // 2:
+        return ["rec", "search"]
+    if epoch <= num_epochs // 4 * 3:
+        return ["rec", "search", "img_sel"]
+    return ["rec", "search", "img_sel", "exp"]

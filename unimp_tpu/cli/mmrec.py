@@ -1,0 +1,201 @@
+"""Training entry point — CLI parity with the reference's mmrec.py.
+
+Flow mirrors /root/reference/UniMP/mmrec.py:306-894: build model +
+extended vocabulary, loaders, AdamW with gated-xattn-only weight decay
+and warmup scheduler, then per epoch: train (focal/task-weighted masked
+CE) and per-task eval on the test split, checkpointing each epoch.
+Distribution is a jax mesh (DP x FSDP x TP) instead of
+accelerate/DeepSpeed; launch is plain `python -m unimp_tpu.cli.mmrec`
+(one process per host — no per-device process needed on TPU).
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import numpy as np
+
+from unimp_tpu.cli import common
+from unimp_tpu.cli.arguments import build_parser
+from unimp_tpu.evals import EVALUATORS
+from unimp_tpu.train import checkpoint as ckpt
+from unimp_tpu.train.optimizer import make_optimizer
+from unimp_tpu.train.trainer import Trainer
+from unimp_tpu.utils import MetricLogger, StepTimer, maybe_trace
+
+
+def train_one_epoch(args, trainer, state, loader, epoch, logger, timer):
+    loader.set_epoch(epoch)
+    num_batches = len(loader)
+    for step_idx, batch in enumerate(loader):
+        timer.data_loaded()
+        state, metrics = trainer.train_step(state, batch)
+        timer.step_done()
+        global_step = epoch * num_batches + step_idx
+        if (step_idx + 1) % args.logging_steps == 0:
+            loss = float(metrics["loss"])
+            logger.log(
+                {
+                    "loss_multi_instruct": loss,
+                    "ce": float(metrics["ce"]),
+                    "accuracy": float(metrics["accuracy"]),
+                    "grad_norm": float(metrics["grad_norm"]),
+                    **timer.throughput(args.batch_size, jax.process_count()),
+                },
+                step=global_step,
+            )
+            logger.print(
+                f"Step {step_idx + 1}/{num_batches} of epoch "
+                f"{epoch + 1}/{args.num_epochs}. Loss: {loss:.3f}"
+            )
+    return state
+
+
+def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None):
+    tasks = tasks or ([args.task] if args.single_task else
+                      ["rec", "exp", "img_sel", "search"])
+    results = {}
+    for task in tasks:
+        try:
+            ds = common.make_dataset(args, tokenizer, "test", task=task)
+        except FileNotFoundError as e:
+            logger.print(f"[eval] skipping {task}: {e}")
+            continue
+        loader = common.make_loader(args, ds, tokenizer, train=False)
+        loader.drop_last = False
+        kwargs = {}
+        if task in ("rec", "search"):
+            kwargs["num_beams"] = args.num_beams
+        metrics = EVALUATORS[task](model, params, loader, tokenizer, **kwargs)
+        results[task] = metrics
+        logger.log({f"{task}/{k}": v for k, v in metrics.items()
+                    if isinstance(v, (int, float))}, step=epoch)
+        logger.print(f"[epoch {epoch}] {task}: " + " ".join(
+            f"{k}={v:.4f}" for k, v in metrics.items()
+            if isinstance(v, (int, float))))
+    return results
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    rank = jax.process_index()
+
+    tokenizer = common.build_tokenizer(args)
+    model = common.build_model(args, tokenizer)
+    mesh = common.build_mesh(args)
+
+    task = args.task if args.single_task else common.multi_task_list(args)
+    train_ds = common.make_dataset(args, tokenizer, "train", task=task)
+    train_loader = common.make_loader(args, train_ds, tokenizer, train=True)
+
+    total_steps = len(train_loader) * args.num_epochs
+    warmup = (
+        int(total_steps * args.warmup_steps_ratio)
+        if args.warmup_steps_ratio is not None
+        else args.warmup_steps
+    )
+
+    save_dir = os.path.join(args.external_save_dir or ".", args.run_name)
+    logger = MetricLogger(
+        save_dir, args.run_name, use_wandb=args.report_to_wandb,
+        wandb_project=args.wandb_project, wandb_entity=args.wandb_entity,
+        config=vars(args), rank=rank,
+    )
+    logger.print(f"Total training steps: {total_steps}")
+
+    trainer = Trainer(
+        model,
+        optimizer=None,
+        media_id=tokenizer.media_token_id,
+        answer_id=tokenizer.answer_token_id,
+        endofchunk_id=tokenizer.endofchunk_token_id,
+        pad_id=tokenizer.pad_token_id,
+        gamma=args.gamma,
+        use_reweight=args.use_reweight,
+        mask_lm_head=args.mask_lm_head,
+        mesh=mesh,
+    )
+
+    rng = jax.random.PRNGKey(args.seed)
+    sample_batch = next(iter(train_loader))
+    # params first (optimizer mask needs the tree), then sharded state
+    import jax.numpy as jnp
+
+    from unimp_tpu.data.transforms import normalize_on_device
+    from unimp_tpu.models import compute_q_media
+
+    ids = jnp.asarray(sample_batch["input_ids"])
+    params = model.init(
+        rng, ids,
+        vision_x=normalize_on_device(jnp.asarray(sample_batch["images"])),
+        q_media=compute_q_media(ids, tokenizer.media_token_id),
+    )["params"]
+    trainer.optimizer = make_optimizer(
+        params,
+        learning_rate=args.learning_rate,
+        lr_scheduler=args.lr_scheduler,
+        total_steps=total_steps,
+        warmup_steps=warmup,
+        weight_decay=args.weight_decay,
+    )
+    if args.gradient_accumulation_steps > 1:
+        import optax
+
+        trainer.optimizer = optax.MultiSteps(
+            trainer.optimizer, args.gradient_accumulation_steps
+        )
+    state = trainer.init_state(rng, sample_batch)
+    del params
+
+    if args.load_from_original_checkpoint:
+        from unimp_tpu.tools.convert_torch import load_torch_checkpoint
+
+        state = state.replace(params=load_torch_checkpoint(
+            args.load_from_original_checkpoint, state.params))
+
+    resume_epoch = 0
+    if args.resume_from_checkpoint:
+        latest = ckpt.latest_checkpoint(save_dir)
+        if latest:
+            logger.print(f"Resuming from {latest}")
+            payload = ckpt.restore_params(
+                save_dir, latest,
+                like={"params": state.params, "opt_state": state.opt_state,
+                      "step": state.step, "epoch": 0},
+            )
+            state = state.replace(
+                params=payload["params"], opt_state=payload["opt_state"],
+                step=payload["step"],
+            )
+            resume_epoch = int(payload["epoch"]) + 1
+
+    timer = StepTimer()
+    for epoch in range(resume_epoch, args.num_epochs):
+        if args.train_method == "continue":
+            tasks = common.curriculum_tasks(epoch, args.num_epochs)
+            train_ds = common.make_dataset(args, tokenizer, "train", task=tasks)
+            train_loader = common.make_loader(args, train_ds, tokenizer, train=True)
+        with maybe_trace(args.trace_dir if epoch == resume_epoch else None):
+            state = train_one_epoch(
+                args, trainer, state, train_loader, epoch, logger, timer
+            )
+        if args.do_eval or args.do_test:
+            run_evals(args, model, state.params, tokenizer, logger, epoch)
+        if rank == 0:
+            ckpt.save_epoch(save_dir, state.params, epoch)
+            ckpt.save_train_state(save_dir, state, epoch)
+            if args.delete_previous_checkpoint and epoch > 0:
+                import shutil
+
+                prev = os.path.join(save_dir, f"checkpoint_{epoch - 1}")
+                if os.path.isdir(prev):
+                    shutil.rmtree(prev)
+    if rank == 0:
+        ckpt.save_params(save_dir, state.params, "final_weights")
+        logger.print(f"Saved final weights under {save_dir}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,81 @@
+"""Eval-only entry point — CLI parity with the reference's mmrec_eval.py.
+
+Mirrors /root/reference/UniMP/mmrec_eval.py:303-798: same setup as the
+trainer, loads ``--load_weights_name`` (Orbax directory produced by
+mmrec, or a torch .pt via the converter), then runs the requested task
+evaluations on the test split.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+
+from unimp_tpu.cli import common
+from unimp_tpu.cli.arguments import build_parser
+from unimp_tpu.cli.mmrec import run_evals
+from unimp_tpu.train import checkpoint as ckpt
+from unimp_tpu.utils import MetricLogger
+
+
+def init_params(args, model, tokenizer, sample_batch):
+    from unimp_tpu.data.transforms import normalize_on_device
+    from unimp_tpu.models import compute_q_media
+
+    rng = jax.random.PRNGKey(args.seed)
+    ids = jnp.asarray(sample_batch["input_ids"])
+    return model.init(
+        rng, ids,
+        vision_x=normalize_on_device(jnp.asarray(sample_batch["images"])),
+        q_media=compute_q_media(ids, tokenizer.media_token_id),
+    )["params"]
+
+
+def main(argv=None):
+    args = build_parser(eval_only=True).parse_args(argv)
+    rank = jax.process_index()
+
+    tokenizer = common.build_tokenizer(args)
+    model = common.build_model(args, tokenizer)
+
+    ds = common.make_dataset(args, tokenizer, "test", task=args.task)
+    loader = common.make_loader(args, ds, tokenizer, train=False)
+    probe = next(iter(loader))
+    params = init_params(args, model, tokenizer, probe)
+
+    if args.load_weights_name:
+        load_dir = args.load_dir or os.path.join(
+            args.external_save_dir or ".", args.run_name
+        )
+        if args.load_weights_name.endswith(".pt"):
+            from unimp_tpu.tools.convert_torch import load_torch_checkpoint
+
+            params = load_torch_checkpoint(
+                os.path.join(load_dir, args.load_weights_name), params
+            )
+        else:
+            params = ckpt.restore_params(
+                load_dir, args.load_weights_name, like=params
+            )
+
+    save_dir = os.path.join(args.external_save_dir or ".", args.run_name)
+    logger = MetricLogger(save_dir, f"{args.run_name}_eval", rank=rank,
+                          use_wandb=args.report_to_wandb,
+                          wandb_project=args.wandb_project,
+                          wandb_entity=args.wandb_entity, config=vars(args))
+    tasks = [args.task] if args.single_task else None
+    results = run_evals(args, model, params, tokenizer, logger, epoch=0,
+                        tasks=tasks)
+    if rank == 0:
+        out = os.path.join(save_dir, "eval_results.json")
+        with open(out, "w") as f:
+            json.dump(results, f, indent=2)
+        logger.print(f"Wrote {out}")
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,128 @@
+"""New-domain transfer entry point — parity with mmrec_prefix.py.
+
+Mirrors /root/reference/UniMP/mmrec_prefix.py: load a multi-task
+checkpoint, extend the vocabulary with ``item_domain_{i}`` tokens
+(office=1574, tool=6885), FREEZE the perceiver resampler, the gated
+cross-attention blocks and the token embeddings, and fine-tune the rest
+on the new domain. Freezing is an optax trainability mask
+(zeroed updates) instead of requires_grad_(False); ``--only_test``
+short-circuits to evaluation.
+"""
+
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+
+from unimp_tpu.cli import common
+from unimp_tpu.cli.arguments import build_parser
+from unimp_tpu.cli.mmrec import run_evals, train_one_epoch
+from unimp_tpu.train import checkpoint as ckpt
+from unimp_tpu.train.optimizer import make_optimizer
+from unimp_tpu.train.trainer import Trainer
+from unimp_tpu.utils import MetricLogger, StepTimer
+
+
+def frozen_mask(params):
+    """True = trainable. Freezes resampler, gated-xattn blocks and the
+    embedding table (mmrec_prefix.py freeze list)."""
+    import jax.tree_util as jtu
+
+    flat, treedef = jtu.tree_flatten_with_path(params)
+    out = []
+    for kp, _ in flat:
+        path = "/".join(p.key if hasattr(p, "key") else str(p) for p in kp)
+        frozen = (
+            path.startswith("resampler")
+            or "xattn_" in path
+            or path.startswith("embed/")
+        )
+        out.append(not frozen)
+    return jtu.tree_unflatten(treedef, out)
+
+
+def main(argv=None):
+    parser = build_parser(eval_only=True)
+    args = parser.parse_args(argv)
+    if args.transfer_domain is None:
+        args.transfer_domain = "office"
+    rank = jax.process_index()
+
+    tokenizer = common.build_tokenizer(args)  # adds item_domain_{i}
+    model = common.build_model(args, tokenizer)
+    mesh = common.build_mesh(args)
+
+    train_ds = common.make_dataset(args, tokenizer, "train", task=args.task)
+    train_loader = common.make_loader(args, train_ds, tokenizer, train=True)
+    sample_batch = next(iter(train_loader))
+
+    from unimp_tpu.cli.mmrec_eval import init_params
+
+    params = init_params(args, model, tokenizer, sample_batch)
+    load_dir = args.load_dir or os.path.join(
+        args.external_save_dir or ".", args.run_name
+    )
+    if args.load_weights_name:
+        # vocabulary grew (item_domain_{i} tokens) — restore raw and graft
+        restored = ckpt.restore_params(load_dir, args.load_weights_name)
+        params = ckpt.merge_with_growth(restored, params)
+
+    save_dir = os.path.join(args.external_save_dir or ".",
+                            f"{args.run_name}_{args.transfer_domain}")
+    logger = MetricLogger(save_dir, args.run_name, rank=rank,
+                          use_wandb=args.report_to_wandb,
+                          wandb_project=args.wandb_project,
+                          wandb_entity=args.wandb_entity, config=vars(args))
+
+    if args.only_test:
+        return run_evals(args, model, params, tokenizer, logger, epoch=0,
+                         tasks=[args.task])
+
+    total_steps = len(train_loader) * args.num_epochs
+    warmup = (
+        int(total_steps * args.warmup_steps_ratio)
+        if args.warmup_steps_ratio is not None
+        else args.warmup_steps
+    )
+    trainer = Trainer(
+        model,
+        optimizer=make_optimizer(
+            params,
+            learning_rate=args.learning_rate,
+            lr_scheduler=args.lr_scheduler,
+            total_steps=total_steps,
+            warmup_steps=warmup,
+            weight_decay=args.weight_decay,
+            trainable_mask=frozen_mask(params),
+        ),
+        media_id=tokenizer.media_token_id,
+        answer_id=tokenizer.answer_token_id,
+        endofchunk_id=tokenizer.endofchunk_token_id,
+        pad_id=tokenizer.pad_token_id,
+        gamma=args.gamma,
+        use_reweight=args.use_reweight,
+        mesh=mesh,
+    )
+    state = trainer.init_state(jax.random.PRNGKey(args.seed), sample_batch)
+    state = state.replace(params=jax.device_put(
+        params, jax.tree.map(lambda x: x.sharding, state.params)))
+
+    timer = StepTimer()
+    for epoch in range(args.num_epochs):
+        state = train_one_epoch(
+            args, trainer, state, train_loader, epoch, logger, timer
+        )
+        if args.do_eval or args.do_test:
+            run_evals(args, model, state.params, tokenizer, logger, epoch,
+                      tasks=[args.task])
+        if rank == 0:
+            ckpt.save_epoch(save_dir, state.params, epoch)
+    if rank == 0:
+        ckpt.save_params(save_dir, state.params, "final_weights")
+    return state
+
+
+if __name__ == "__main__":
+    main()

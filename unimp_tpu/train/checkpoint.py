@@ -37,6 +37,44 @@ def restore_params(save_dir: str, name: str, like: Optional[Any] = None):
     return ckptr.restore(path)
 
 
+def merge_with_growth(restored, target):
+    """Graft restored params onto target, tolerating grown tables.
+
+    The transfer path (mmrec_prefix) extends the vocabulary AFTER
+    pretraining, so the new embedding/LM-head rows have no stored
+    counterpart — copy the overlapping region and keep the fresh init
+    for the rest (the reference reaches the same state via
+    resize_token_embeddings after load, mmrec_prefix.py).
+    """
+    import numpy as np
+
+    def merge(path, t, r):
+        t_arr = np.asarray(t)
+        r_arr = np.asarray(r)
+        if t_arr.shape == r_arr.shape:
+            return r_arr.astype(t_arr.dtype)
+        if t_arr.ndim == r_arr.ndim and all(
+            rd <= td for rd, td in zip(r_arr.shape, t_arr.shape)
+        ):
+            out = np.array(t_arr)
+            out[tuple(slice(0, d) for d in r_arr.shape)] = r_arr
+            return out
+        print(f"[checkpoint] keeping init for {path}: "
+              f"{r_arr.shape} vs {t_arr.shape}")
+        return t_arr
+
+    flat_t, treedef = jax.tree_util.tree_flatten_with_path(target)
+    flat_r = dict(jax.tree_util.tree_flatten_with_path(restored)[0])
+    out = []
+    for kp, t in flat_t:
+        if kp in flat_r:
+            path = "/".join(str(getattr(p, "key", p)) for p in kp)
+            out.append(merge(path, t, flat_r[kp]))
+        else:
+            out.append(t)
+    return jax.tree_util.tree_unflatten(treedef, out)
+
+
 def save_epoch(save_dir: str, params: Any, epoch: int):
     """Reference cadence: weights_epoch_{e} per epoch (mmrec.py:873-881)."""
     return save_params(save_dir, params, name=f"weights_epoch_{epoch}")

@@ -51,11 +51,8 @@ class Trainer:
         use_reweight: bool = False,
         mask_lm_head: bool = False,
         mesh=None,
-        gradient_accumulation_steps: int = 1,
     ):
         self.model = model
-        if gradient_accumulation_steps > 1:
-            optimizer = optax.MultiSteps(optimizer, gradient_accumulation_steps)
         self.optimizer = optimizer
         self.mesh = mesh
         self.ids = dict(
