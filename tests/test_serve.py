@@ -1,0 +1,103 @@
+"""Serving stack tests: dispatch logic + a live controller->worker stream."""
+
+import json
+import threading
+import time
+from http.server import ThreadingHTTPServer
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from unimp_tpu.serve.controller import Controller, make_handler as controller_handler
+from unimp_tpu.serve.worker import ModelWorker, make_handler as worker_handler
+
+
+def test_registry_and_dispatch():
+    c = Controller("shortest_queue")
+    c.register_worker("http://w1", True, {"model_names": ["m"], "speed": 1,
+                                          "queue_length": 5})
+    c.register_worker("http://w2", True, {"model_names": ["m"], "speed": 1,
+                                          "queue_length": 0})
+    assert c.list_models() == ["m"]
+    # shortest queue picks w2 and bumps its queue
+    assert c.get_worker_address("m") == "http://w2"
+    assert c.workers["http://w2"].queue_length == 1
+    assert c.get_worker_address("other") == ""
+    # heartbeat from unknown worker requests re-registration
+    assert c.receive_heart_beat("http://w3", 0) is False
+    assert c.receive_heart_beat("http://w1", 2) is True
+    # stale expiry
+    c.workers["http://w1"].last_heart_beat = time.time() - 10_000
+    dead = c.remove_stale_workers()
+    assert dead == ["http://w1"]
+
+
+def test_lottery_dispatch_weighted():
+    c = Controller("lottery")
+    c.register_worker("http://a", True, {"model_names": ["m"], "speed": 9})
+    c.register_worker("http://b", True, {"model_names": ["m"], "speed": 1})
+    rng = np.random.default_rng(0)
+    picks = [c.get_worker_address("m", rng) for _ in range(200)]
+    assert picks.count("http://a") > 140
+
+
+@pytest.fixture(scope="module")
+def tiny_worker():
+    from unimp_tpu.models import UniMPModel, get_config
+    from unimp_tpu.tools import synth_data
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        synth_data.generate(d, n_items=32, n_users=4, image_size=28,
+                            write_images=False)
+        tok = synth_data.build_tokenizer(d, n_items=32)
+    import dataclasses
+
+    cfg = get_config("debug", dtype="float32")
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 8))
+    model = UniMPModel(cfg)
+    ids = jnp.ones((1, 8), jnp.int32).at[0, 1].set(tok.media_token_id)
+    img = cfg.vision.image_size
+    from unimp_tpu.models import compute_q_media
+
+    params = model.init(
+        jax.random.PRNGKey(0), ids,
+        vision_x=jnp.zeros((1, 1, img, img, 3), jnp.float32),
+        q_media=compute_q_media(ids, tok.media_token_id),
+    )["params"]
+    return ModelWorker(model, params, tok, ["tiny"], image_size=img,
+                       max_new_tokens=8)
+
+
+def test_worker_stream_end_to_end(tiny_worker):
+    import requests
+
+    wsrv = ThreadingHTTPServer(("127.0.0.1", 0), worker_handler(tiny_worker))
+    wport = wsrv.server_address[1]
+    threading.Thread(target=wsrv.serve_forever, daemon=True).start()
+
+    c = Controller()
+    c.register_worker(f"http://127.0.0.1:{wport}", False, tiny_worker.status())
+    csrv = ThreadingHTTPServer(("127.0.0.1", 0), controller_handler(c))
+    cport = csrv.server_address[1]
+    threading.Thread(target=csrv.serve_forever, daemon=True).start()
+
+    try:
+        r = requests.post(f"http://127.0.0.1:{cport}/list_models", json={},
+                          timeout=10)
+        assert r.json()["models"] == ["tiny"]
+
+        from unimp_tpu.serve.cli_chat import stream_request
+
+        chunks = list(stream_request(
+            f"http://127.0.0.1:{cport}",
+            {"model": "tiny", "prompt": "hello world", "max_new_tokens": 4},
+        ))
+        assert chunks, "no chunks streamed"
+        assert chunks[-1].get("finish") is True
+        assert all(ch["error_code"] == 0 for ch in chunks)
+    finally:
+        wsrv.shutdown()
+        csrv.shutdown()
