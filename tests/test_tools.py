@@ -1,0 +1,167 @@
+"""Tooling tests: K-core, splits, img_sel/keep_exp derivation, semantic
+IDs, retrieval neighbors, VQ tokenizer round-trip, torch converter."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from unimp_tpu.tools import synth_data
+from unimp_tpu.tools.preprocess import (
+    check_kcore,
+    filter_kcore,
+    reindex_items,
+    split_users,
+)
+from unimp_tpu.tools.task_data import gen_img_sel, keep_exp
+
+
+def test_kcore_filter():
+    rng = np.random.default_rng(0)
+    users = {
+        f"u{i}": [[int(x), "", 3] for x in rng.integers(0, 30, rng.integers(2, 15))]
+        for i in range(40)
+    }
+    out = filter_kcore(users, user_core=5, item_core=4)
+    _, _, ok = check_kcore(out, 5, 4)
+    assert ok
+    assert 0 < len(out) <= len(users)
+
+
+def test_reindex_and_split():
+    users = {
+        "a": [["x", "", 3], ["y", "", 4]],
+        "b": [["y", "", 1], ["z", "", 2]],
+        **{f"u{i}": [["x", "", 3], ["z", "", 3]] for i in range(18)},
+    }
+    seqs, raw2id = reindex_items(users)
+    assert set(raw2id.values()) == {0, 1, 2}
+    assert seqs["a"][0][0] == raw2id["x"]
+    tr, ev, te = split_users(seqs)
+    assert len(tr) + len(ev) + len(te) == len(users)
+    assert not (set(tr) & set(ev)) and not (set(ev) & set(te))
+
+
+def test_gen_img_sel_and_keep_exp():
+    rng = np.random.default_rng(1)
+    users = {
+        f"u{i}": [[int(j), "words here" if j % 2 else "", 3]
+                  for j in rng.choice(40, 12, replace=False)]
+        for i in range(10)
+    }
+    sel = gen_img_sel(users, set(range(40)), rng)
+    for seq in sel.values():
+        trailer = seq[-1]
+        item_set, labels = trailer[-2], trailer[-1]
+        assert len(item_set) == 3
+        assert all(0 <= l < 3 for l in labels)
+        assert len(labels) in (1, 2)
+        # positives really are in the candidate set
+        positives = [t[0] for t in trailer[:-2]]
+        for l in labels:
+            assert item_set[l] in positives
+
+    kept = keep_exp(users, "train")
+    for seq in kept.values():
+        assert all(it[1] != "" for it in seq)
+        assert len(seq) >= 6
+
+
+def test_semantic_ids_and_retrieval(tmp_path):
+    from unimp_tpu.tools.features import (
+        add_retrieval_neighbors,
+        build_semantic_ids,
+        cosine_topk,
+    )
+
+    rng = np.random.default_rng(0)
+    feats = rng.normal(size=(50, 16))
+    nbrs = cosine_topk(feats, k=5)
+    assert nbrs.shape == (50, 5)
+    assert all(i not in nbrs[i] for i in range(50))
+
+    out = str(tmp_path / "id2semantic.json")
+    mapping = build_semantic_ids(feats, list(range(50)), out,
+                                 codes_per_level=8, last_codes=4)
+    assert len(mapping) == 50
+    parts = mapping["0"].split(",")
+    assert len(parts) == 4
+    assert all(int(p) >= 0 for p in parts)
+    # distinct items get distinct full codes (collision-resolved)
+    assert len(set(mapping.values())) == 50
+
+    d = str(tmp_path / "ds")
+    synth_data.generate(d, n_items=16, n_users=8, image_size=28)
+    ids = list(range(16))
+    add_retrieval_neighbors(d, "beauty", feats[:16], ids, k=3)
+    with open(os.path.join(d, "meta_beauty.json")) as f:
+        meta = json.load(f)
+    assert len(meta["0"]["retrieval"]) == 3
+
+
+def test_vq_tokenizer_roundtrip(tmp_path):
+    from unimp_tpu.tools.vqgan import PatchVQTokenizer
+
+    rng = np.random.default_rng(0)
+    # structured images so the codebook learns something
+    base = rng.integers(0, 255, (8, 1, 1, 3), dtype=np.uint8)
+    imgs = np.repeat(np.repeat(base, 64, axis=1), 64, axis=2)
+    imgs = (imgs + rng.integers(0, 20, imgs.shape)).clip(0, 255).astype(np.uint8)
+    vq = PatchVQTokenizer(patch=16, pca_dim=8, codebook_size=32).fit(imgs)
+    toks = vq.encode(imgs)
+    assert toks.shape == (8, 16)
+    assert toks.max() < 32
+    rec = vq.decode(toks)
+    assert rec.shape == (8, 64, 64, 3)
+    # reconstruction of near-constant images should be close
+    err = np.abs(rec.astype(int) - imgs.astype(int)).mean()
+    assert err < 40, err
+
+    p = str(tmp_path / "cb.npz")
+    vq.save(p)
+    vq2 = PatchVQTokenizer.load(p)
+    np.testing.assert_array_equal(vq2.encode(imgs), toks)
+
+
+def test_torch_converter_roundtrip():
+    import torch
+
+    from unimp_tpu.tools.convert_torch import convert_state_dict
+
+    target = {
+        "vision": {"block_0": {"mlp": {"up": {"kernel": np.zeros((4, 8)),
+                                              "bias": np.zeros(8)}}}},
+        "embed": {"embedding": np.zeros((10, 4))},
+    }
+    sd = {
+        "vision_encoder.vision_model.encoder.layers.0.mlp.fc1.weight":
+            np.arange(32).reshape(8, 4).astype(np.float32),
+        "vision_encoder.vision_model.encoder.layers.0.mlp.fc1.bias":
+            np.ones(8, np.float32),
+        # identity-path name with embedding growth 8 -> 10 rows
+        "embed.embedding": np.ones((8, 4), np.float32),
+        "unknown.param": np.zeros(3),
+    }
+    out, report = convert_state_dict(sd, target)
+    np.testing.assert_array_equal(
+        out["vision"]["block_0"]["mlp"]["up"]["kernel"],
+        np.arange(32).reshape(8, 4).T,
+    )
+    assert out["embed"]["embedding"][:8].sum() == 32
+    assert (out["embed"]["embedding"][8:] == 0).all()
+    assert "unknown.param" in report["missed"]
+    assert len(report["matched"]) == 3
+
+
+def test_synth_to_training_files(tmp_path):
+    """preprocess-format invariants on the synthetic generator output."""
+    d = str(tmp_path)
+    info = synth_data.generate(d, n_items=24, n_users=12, image_size=28)
+    for split in ("train", "eval", "test"):
+        with open(os.path.join(d, f"{split}_users.json")) as f:
+            users = json.load(f)
+        assert users
+        for seq in users.values():
+            assert all(len(it) == 3 for it in seq)
+    assert info["n_items"] == 24
