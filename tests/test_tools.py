@@ -165,3 +165,40 @@ def test_synth_to_training_files(tmp_path):
         for seq in users.values():
             assert all(len(it) == 3 for it in seq)
     assert info["n_items"] == 24
+
+
+def test_native_image_pipeline(tmp_path):
+    from PIL import Image
+
+    from unimp_tpu.data import native
+    from unimp_tpu.data.transforms import preprocess_uint8
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(0)
+    paths, blobs, pil_out = [], [], []
+    for i in range(6):
+        arr = rng.integers(0, 255, (80 + i * 7, 64, 3), dtype=np.uint8)
+        p = str(tmp_path / f"{i}.jpg")
+        Image.fromarray(arr).save(p, quality=95)
+        paths.append(p)
+        with open(p, "rb") as f:
+            blobs.append(f.read())
+        pil_out.append(preprocess_uint8(np.asarray(Image.open(p).convert("RGB")), 56))
+
+    # single decode matches PIL within resize-filter tolerance
+    one = native.decode_resize(blobs[0], 56)
+    assert one.shape == (56, 56, 3)
+    diff = np.abs(one.astype(int) - pil_out[0].astype(int)).mean()
+    assert diff < 8.0, diff
+
+    # batch decode, multithreaded
+    batch = native.decode_resize_batch(blobs, 56, n_threads=3)
+    assert batch.shape == (6, 56, 56, 3)
+    np.testing.assert_array_equal(batch[0], one)
+
+    # corrupt input -> zero-filled slot, no crash
+    bad = native.decode_resize_batch([b"not a jpeg", blobs[1]], 56)
+    assert (bad[0] == 0).all()
+    assert not (bad[1] == 0).all()

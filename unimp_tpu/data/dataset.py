@@ -30,7 +30,7 @@ import numpy as np
 
 from unimp_tpu.data.prompts import PromptBuilder
 from unimp_tpu.data.tokenizer import UniMPTokenizer
-from unimp_tpu.data.transforms import load_image_rgb, preprocess_uint8
+from unimp_tpu.data.transforms import load_resized_uint8
 from unimp_tpu.data.vocab import ITEM_COUNTS
 
 TASK_ORDER = {"img_sel": 0, "search": 1, "rec": 2, "exp": 3}  # rec_dataset.py:181
@@ -154,8 +154,9 @@ class TaskDataset:
     def _load_image(self, item_id: int) -> np.ndarray:
         if item_id in self._image_cache:
             return self._image_cache[item_id]
-        img = load_image_rgb(os.path.join(self.img_dir, f"{item_id}.jpg"))
-        img = preprocess_uint8(img, self.image_size)
+        img = load_resized_uint8(
+            os.path.join(self.img_dir, f"{item_id}.jpg"), self.image_size
+        )
         if len(self._image_cache) < 8192:
             self._image_cache[item_id] = img
         return img

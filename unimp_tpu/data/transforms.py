@@ -40,6 +40,20 @@ def preprocess_image(img: np.ndarray, size: int = 224) -> np.ndarray:
     return (x - FLAMINGO_MEAN) / FLAMINGO_STD
 
 
+def load_resized_uint8(path: str, size: int) -> np.ndarray:
+    """Decode + resize to uint8 [size, size, 3]: native C++ pipeline when
+    built (unimp_tpu/native/imagepipe.cc), PIL otherwise."""
+    from unimp_tpu.data import native
+
+    if native.available():
+        with open(path, "rb") as f:
+            data = f.read()
+        out = native.decode_resize(data, size)
+        if out is not None:
+            return out
+    return preprocess_uint8(load_image_rgb(path), size)
+
+
 def preprocess_uint8(img: np.ndarray, size: int = 224) -> np.ndarray:
     """Resize only; keep uint8 for cheap host->device transfer."""
     if img.shape[0] != size or img.shape[1] != size:
