@@ -64,85 +64,93 @@ int decode_rgb(const unsigned char* data, long size, std::vector<uint8_t>* out,
 }
 
 // Separable triangle-filter (bilinear with support scaling) resize,
-// matching PIL's BILINEAR semantics for downscaling.
-void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
-                     int dw, int dh) {
-  std::vector<float> tmp(static_cast<size_t>(dw) * sh * 3);
-  const float xscale = static_cast<float>(sw) / dw;
-  const float support_x = xscale < 1.0f ? 1.0f : xscale;
+// matching PIL's BILINEAR semantics for downscaling. Filter weights are
+// identical for every row/column, so they are precomputed once into
+// coefficient tables and the passes run as tight row-major loops.
 
-  // horizontal pass
-  for (int x = 0; x < dw; ++x) {
-    const float center = (x + 0.5f) * xscale;
-    int lo = static_cast<int>(center - support_x + 0.5f);
-    int hi = static_cast<int>(center + support_x + 0.5f);
+struct FilterTable {
+  std::vector<int> lo;       // first source index per output index
+  std::vector<int> len;      // taps per output index
+  std::vector<float> coef;   // [out, max_len] row-major, normalized
+  int max_len = 0;
+};
+
+FilterTable build_filter(int src, int dst) {
+  FilterTable t;
+  const float scale = static_cast<float>(src) / dst;
+  const float support = scale < 1.0f ? 1.0f : scale;
+  t.lo.resize(dst);
+  t.len.resize(dst);
+  std::vector<std::vector<float>> rows(dst);
+  for (int x = 0; x < dst; ++x) {
+    const float center = (x + 0.5f) * scale;
+    int lo = static_cast<int>(center - support + 0.5f);
+    int hi = static_cast<int>(center + support + 0.5f);
     if (lo < 0) lo = 0;
-    if (hi > sw) hi = sw;
+    if (hi > src) hi = src;
     float wsum = 0.0f;
-    std::vector<float> w(hi - lo);
+    rows[x].resize(hi - lo);
     for (int i = lo; i < hi; ++i) {
-      float d = (i + 0.5f - center) / support_x;
+      float d = (i + 0.5f - center) / support;
       float v = d < 0 ? 1.0f + d : 1.0f - d;
       if (v < 0) v = 0;
-      w[i - lo] = v;
+      rows[x][i - lo] = v;
       wsum += v;
     }
     if (wsum <= 0) {
-      w.assign(hi - lo, 1.0f);
+      rows[x].assign(hi - lo, 1.0f);
       wsum = static_cast<float>(hi - lo);
     }
-    for (int y = 0; y < sh; ++y) {
-      const uint8_t* srow = src + static_cast<size_t>(y) * sw * 3;
-      float acc[3] = {0, 0, 0};
-      for (int i = lo; i < hi; ++i) {
-        const float ww = w[i - lo];
-        acc[0] += ww * srow[i * 3 + 0];
-        acc[1] += ww * srow[i * 3 + 1];
-        acc[2] += ww * srow[i * 3 + 2];
+    for (float& v : rows[x]) v /= wsum;
+    t.lo[x] = lo;
+    t.len[x] = hi - lo;
+    if (hi - lo > t.max_len) t.max_len = hi - lo;
+  }
+  t.coef.assign(static_cast<size_t>(dst) * t.max_len, 0.0f);
+  for (int x = 0; x < dst; ++x)
+    std::memcpy(&t.coef[static_cast<size_t>(x) * t.max_len], rows[x].data(),
+                rows[x].size() * sizeof(float));
+  return t;
+}
+
+void resize_bilinear(const uint8_t* src, int sw, int sh, uint8_t* dst,
+                     int dw, int dh) {
+  const FilterTable fx = build_filter(sw, dw);
+  const FilterTable fy = build_filter(sh, dh);
+  std::vector<float> tmp(static_cast<size_t>(dw) * sh * 3);
+
+  // horizontal pass, row-major
+  for (int y = 0; y < sh; ++y) {
+    const uint8_t* srow = src + static_cast<size_t>(y) * sw * 3;
+    float* trow = tmp.data() + static_cast<size_t>(y) * dw * 3;
+    for (int x = 0; x < dw; ++x) {
+      const float* w = &fx.coef[static_cast<size_t>(x) * fx.max_len];
+      const uint8_t* p = srow + fx.lo[x] * 3;
+      float a0 = 0, a1 = 0, a2 = 0;
+      for (int i = 0; i < fx.len[x]; ++i, p += 3) {
+        const float ww = w[i];
+        a0 += ww * p[0];
+        a1 += ww * p[1];
+        a2 += ww * p[2];
       }
-      float* trow = tmp.data() + (static_cast<size_t>(y) * dw + x) * 3;
-      trow[0] = acc[0] / wsum;
-      trow[1] = acc[1] / wsum;
-      trow[2] = acc[2] / wsum;
+      trow[x * 3 + 0] = a0;
+      trow[x * 3 + 1] = a1;
+      trow[x * 3 + 2] = a2;
     }
   }
 
-  // vertical pass
-  const float yscale = static_cast<float>(sh) / dh;
-  const float support_y = yscale < 1.0f ? 1.0f : yscale;
+  // vertical pass, row-major over output
+  const size_t trow_stride = static_cast<size_t>(dw) * 3;
   for (int y = 0; y < dh; ++y) {
-    const float center = (y + 0.5f) * yscale;
-    int lo = static_cast<int>(center - support_y + 0.5f);
-    int hi = static_cast<int>(center + support_y + 0.5f);
-    if (lo < 0) lo = 0;
-    if (hi > sh) hi = sh;
-    float wsum = 0.0f;
-    std::vector<float> w(hi - lo);
-    for (int i = lo; i < hi; ++i) {
-      float d = (i + 0.5f - center) / support_y;
-      float v = d < 0 ? 1.0f + d : 1.0f - d;
-      if (v < 0) v = 0;
-      w[i - lo] = v;
-      wsum += v;
-    }
-    if (wsum <= 0) {
-      w.assign(hi - lo, 1.0f);
-      wsum = static_cast<float>(hi - lo);
-    }
-    for (int x = 0; x < dw; ++x) {
-      float acc[3] = {0, 0, 0};
-      for (int i = lo; i < hi; ++i) {
-        const float* trow = tmp.data() + (static_cast<size_t>(i) * dw + x) * 3;
-        const float ww = w[i - lo];
-        acc[0] += ww * trow[0];
-        acc[1] += ww * trow[1];
-        acc[2] += ww * trow[2];
-      }
-      uint8_t* drow = dst + (static_cast<size_t>(y) * dw + x) * 3;
-      for (int c = 0; c < 3; ++c) {
-        float v = acc[c] / wsum + 0.5f;
-        drow[c] = v <= 0 ? 0 : (v >= 255 ? 255 : static_cast<uint8_t>(v));
-      }
+    const float* w = &fy.coef[static_cast<size_t>(y) * fy.max_len];
+    const float* tbase = tmp.data() + static_cast<size_t>(fy.lo[y]) * trow_stride;
+    uint8_t* drow = dst + static_cast<size_t>(y) * dw * 3;
+    for (int xc = 0; xc < dw * 3; ++xc) {
+      float acc = 0;
+      const float* p = tbase + xc;
+      for (int i = 0; i < fy.len[y]; ++i, p += trow_stride) acc += w[i] * *p;
+      float v = acc + 0.5f;
+      drow[xc] = v <= 0 ? 0 : (v >= 255 ? 255 : static_cast<uint8_t>(v));
     }
   }
 }
