@@ -111,6 +111,7 @@ class Generator:
         logits, kv = self.model.apply(
             {"params": params}, ids, latents=latents, q_media=q_media,
             kv_start=start, positions=positions, return_kv=True,
+            last_logit_only=True,
         )
         last_logits = logits[:, -1]  # last prompt token is at T-1 (left-pad)
 

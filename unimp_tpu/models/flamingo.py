@@ -174,6 +174,7 @@ class UniMPModel(nn.Module):
         kv_start: Optional[jax.Array] = None,
         positions: Optional[jax.Array] = None,
         return_kv: bool = False,
+        last_logit_only: bool = False,
         decode_state: Optional[dict] = None,
     ):
         """Full forward, prefill, or single-token decode (see module doc).
@@ -241,6 +242,10 @@ class UniMPModel(nn.Module):
                 causal=causal, return_cache=return_kv,
             )
             self_caches.append(sc)
+        if last_logit_only:
+            # prefill for generation: only the last position's logits are
+            # consumed — skip the [T, V] lm-head matmul for the rest.
+            x = x[:, -1:]
         logits = self._logits(x)
         if return_kv:
             return logits, {"self": self_caches, "xattn": xattn_caches}
