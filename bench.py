@@ -25,6 +25,10 @@ import time
 import numpy as np
 
 
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -101,6 +105,7 @@ def main():
             )
             jax.block_until_ready(toks)
             done = 0
+            pending = None
             t0 = time.perf_counter()
             for batch in it:
                 lat = encode(jnp.asarray(batch["images"]))
@@ -108,15 +113,23 @@ def main():
                     params, jnp.asarray(batch["input_ids"]),
                     jnp.asarray(batch["seq_len"]), lat,
                 )
-                jax.block_until_ready(toks)
-                done += batch["input_ids"].shape[0]
+                if pending is not None:
+                    jax.block_until_ready(pending)
+                    done += pending.shape[0]
+                pending = toks
                 if done >= limit:
                     break
+            if pending is not None:
+                jax.block_until_ready(pending)
+                done += pending.shape[0]
             dt = time.perf_counter() - t0
             return done / dt if done else 0.0
 
+        log("[bench] compiling + running batched eval ...")
         batched_ips = run(make_loader(batch_size), n_users - batch_size)
+        log(f"[bench] batched: {batched_ips:.2f} items/s; running batch-1 baseline ...")
         baseline_ips = run(make_loader(1), baseline_users)
+        log(f"[bench] baseline: {baseline_ips:.2f} items/s")
 
     print(json.dumps({
         "metric": "eval_items_per_sec_rec_beam10",

@@ -51,25 +51,45 @@ def _answers(tokenizer, tokens: np.ndarray):
 
 
 def _generate_batches(model, params, loader, tokenizer, gen_cfg):
-    """Yield (answers, batch, items_per_sec) over the eval loader."""
-    gen = Generator(model, gen_cfg, media_id=tokenizer.media_token_id)
-    from unimp_tpu.models.flamingo import UniMPModel  # noqa: F401
+    """Yield (answers, batch, items_per_sec) over the eval loader.
 
-    for batch in loader:
-        t0 = time.perf_counter()
-        vision = normalize_on_device(jnp.asarray(batch["images"]))
-        latents = model.apply(
-            {"params": params}, vision, method=type(model).encode_vision
+    One generation is kept in flight: batch i+1's host prep (image
+    decode, tokenize, collate — the loader's worker threads) and device
+    dispatch overlap with batch i's device decode, then tokens are
+    materialized. The reference can't overlap at all (synchronous
+    batch-1 generate per user)."""
+    gen = Generator(model, gen_cfg, media_id=tokenizer.media_token_id)
+    import jax
+
+    @jax.jit
+    def encode(v):
+        return model.apply(
+            {"params": params}, normalize_on_device(v),
+            method=type(model).encode_vision,
         )
+
+    pending = None  # (tokens_device, batch, t_start)
+    t0 = time.perf_counter()
+    for batch in loader:
+        latents = encode(jnp.asarray(batch["images"]))
         tokens, _ = gen.generate(
             params,
             jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["seq_len"]),
             latents,
         )
-        tokens = np.asarray(tokens)
-        dt = time.perf_counter() - t0
-        yield _answers(tokenizer, tokens), batch, len(tokens) / dt
+        if pending is not None:
+            p_tokens, p_batch, p_t0 = pending
+            p_np = np.asarray(p_tokens)  # blocks until batch i done
+            dt = time.perf_counter() - p_t0
+            yield _answers(tokenizer, p_np), p_batch, len(p_np) / dt
+        pending = (tokens, batch, t0)
+        t0 = time.perf_counter()
+    if pending is not None:
+        p_tokens, p_batch, p_t0 = pending
+        p_np = np.asarray(p_tokens)
+        dt = time.perf_counter() - p_t0
+        yield _answers(tokenizer, p_np), p_batch, len(p_np) / dt
 
 
 def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10),
