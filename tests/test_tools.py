@@ -202,3 +202,43 @@ def test_native_image_pipeline(tmp_path):
     bad = native.decode_resize_batch([b"not a jpeg", blobs[1]], 56)
     assert (bad[0] == 0).all()
     assert not (bad[1] == 0).all()
+
+
+def test_misc_converters_and_webdata(tmp_path):
+    from unimp_tpu.data.webdata import ShardedJsonlDataset
+    from unimp_tpu.tools.misc_converters import (
+        apply_delta,
+        make_delta,
+        shard_jsonl,
+    )
+
+    base = {"a": np.ones((2, 2)), "b": {"c": np.zeros(3)}}
+    target = {"a": np.full((2, 2), 3.0), "b": {"c": np.arange(3.0)}}
+    delta = make_delta(base, target)
+    back = apply_delta(base, delta)
+    np.testing.assert_allclose(back["a"], target["a"])
+    np.testing.assert_allclose(back["b"]["c"], target["b"]["c"])
+
+    recs = [{"i": i, "text": f"doc {i}"} for i in range(25)]
+    paths = shard_jsonl(recs, str(tmp_path / "shards"),
+                        max_records_per_shard=10)
+    assert len(paths) == 3
+
+    ds = ShardedJsonlDataset(str(tmp_path / "shards" / "shard-*.jsonl"),
+                             seed=1, shuffle_buffer=8)
+    got = sorted(r["i"] for r in ds)
+    assert got == list(range(25))
+    # epoch changes the order deterministically
+    ds.set_epoch(0)
+    o0 = [r["i"] for r in ds]
+    ds.set_epoch(1)
+    o1 = [r["i"] for r in ds]
+    ds.set_epoch(0)
+    assert [r["i"] for r in ds] == o0
+    assert o0 != o1
+    # host sharding partitions shards
+    d0 = ShardedJsonlDataset(str(tmp_path / "shards" / "shard-*.jsonl"),
+                             process_index=0, process_count=3)
+    d1 = ShardedJsonlDataset(str(tmp_path / "shards" / "shard-*.jsonl"),
+                             process_index=1, process_count=3)
+    assert len(list(d0)) + len(list(d1)) <= 25

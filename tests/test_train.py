@@ -134,3 +134,39 @@ def test_fsdp_tp_mesh_step(setup):
     state = trainer.init_state(rng, batch)
     state, metrics = trainer.train_step(state, batch)
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_remat_variant_trains(setup):
+    """cfg.remat wraps blocks in jax.checkpoint; grads still flow."""
+    import dataclasses
+
+    from unimp_tpu.data.transforms import normalize_on_device
+    from unimp_tpu.models.flamingo import compute_q_media
+    from unimp_tpu.models import UniMPModel, get_config
+    from unimp_tpu.train.loss import masked_focal_loss
+    from unimp_tpu.data.masking import answer_span_labels
+
+    tok, _, dl = setup
+    batch = next(iter(dl))
+    cfg = get_config("debug", dtype="float32", remat=True)
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 64))
+    model = UniMPModel(cfg)
+    ids = jnp.asarray(batch["input_ids"])
+    vision = normalize_on_device(jnp.asarray(batch["images"]))
+    q_media = compute_q_media(ids, tok.media_token_id)
+    params = model.init(jax.random.PRNGKey(0), ids, vision_x=vision,
+                        q_media=q_media)["params"]
+
+    def loss_fn(p):
+        logits, _ = model.apply({"params": p}, ids, vision_x=vision,
+                                q_media=q_media)
+        labels = answer_span_labels(
+            ids, tok.answer_token_id, tok.endofchunk_token_id,
+            tok.media_token_id, tok.pad_token_id)
+        return masked_focal_loss(logits, labels,
+                                 jnp.asarray(batch["weights"]))[0]
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))))
+    assert gnorm > 0

@@ -229,18 +229,45 @@ class UniMPModel(nn.Module):
 
         x = self.embed(input_ids)
         causal = input_ids.shape[1] > 1
+        # cfg.remat: checkpoint each block in the training path —
+        # jax.checkpoint recomputes activations in backward, trading
+        # FLOPs for HBM on big models. (Prefill/return_kv is inference:
+        # no backward, so no remat needed.)
+        use_remat = cfg.remat and not return_kv
+
+        def run_block(mdl, h, kvl, kvs, pos):
+            return mdl(
+                h, kv_len=kvl, kv_start=kvs, positions=pos,
+                causal=causal, return_cache=False,
+            )[0]
+
+        def run_xattn(mdl, h, lat, qm, km):
+            return mdl(h, lat, qm, km, return_cache=False)[0]
+
+        if use_remat:
+            run_block = nn.remat(run_block)
+            run_xattn = nn.remat(run_xattn)
+
         self_caches, xattn_caches = [], []
         for i, (block, xattn) in enumerate(zip(self.blocks, self.xattns)):
             if xattn is not None and latents_flat is not None:
-                x, xc = xattn(
-                    x, latents_flat, q_media, kv_media, return_cache=return_kv
-                )
+                if use_remat:
+                    x = run_xattn(xattn, x, latents_flat, q_media, kv_media)
+                    xc = None
+                else:
+                    x, xc = xattn(
+                        x, latents_flat, q_media, kv_media,
+                        return_cache=return_kv,
+                    )
                 if return_kv:
                     xattn_caches.append(xc)
-            x, sc = block(
-                x, kv_len=kv_len, kv_start=kv_start, positions=positions,
-                causal=causal, return_cache=return_kv,
-            )
+            if use_remat:
+                x, sc = run_block(block, x, kv_len, kv_start, positions), None
+            else:
+                x, sc = block(
+                    x, kv_len=kv_len, kv_start=kv_start, positions=positions,
+                    causal=causal, return_cache=return_kv,
+                )
             self_caches.append(sc)
         if last_logit_only:
             # prefill for generation: only the last position's logits are

@@ -51,6 +51,7 @@ class Trainer:
         use_reweight: bool = False,
         mask_lm_head: bool = False,
         mesh=None,
+        skip_nonfinite_updates: bool = True,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -61,6 +62,7 @@ class Trainer:
         self.gamma = gamma
         self.use_reweight = use_reweight
         self.mask_lm_head = mask_lm_head
+        self.skip_nonfinite_updates = skip_nonfinite_updates
         self._step_fn = None
 
     # ---------------- state ----------------
@@ -119,7 +121,25 @@ class Trainer:
             )
             params = optax.apply_updates(state.params, updates)
             gnorm = optax.global_norm(grads)
-            metrics = {"loss": loss, "grad_norm": gnorm, **aux}
+            if self.skip_nonfinite_updates:
+                # NaN/Inf guard: drop the whole update if the loss or the
+                # gradient norm is non-finite (the reference only guards
+                # its legacy loop, train_utils.py:153-160).
+                ok = jnp.isfinite(loss) & jnp.isfinite(gnorm)
+                params = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old),
+                    params, state.params,
+                )
+                opt_state = jax.tree.map(
+                    lambda new, old: jnp.where(ok, new, old)
+                    if hasattr(new, "shape") else new,
+                    opt_state, state.opt_state,
+                )
+                metrics_skipped = 1 - ok.astype(jnp.int32)
+            else:
+                metrics_skipped = jnp.int32(0)
+            metrics = {"loss": loss, "grad_norm": gnorm,
+                       "skipped_nonfinite": metrics_skipped, **aux}
             return (
                 TrainState(step=state.step + 1, params=params, opt_state=opt_state),
                 metrics,
