@@ -137,7 +137,7 @@ class UniMPModel(nn.Module):
         )
         if not cfg.lm.tie_embeddings:
             self.lm_head = nn.Dense(
-                cfg.lm.vocab_size, use_bias=False, dtype=jnp.float32,
+                cfg.lm.vocab_size, use_bias=False, dtype=dt,
                 param_dtype=jnp.float32, name="lm_head",
             )
 
@@ -151,9 +151,17 @@ class UniMPModel(nn.Module):
 
     def _logits(self, x):
         x = self.final_ln(x)
+        # MXU-friendly: bf16 operands with f32 accumulation (the pure-f32
+        # matmul runs at 1/8 MXU rate and the extra mantissa doesn't
+        # change beam ranking in practice).
         if self.cfg.lm.tie_embeddings:
-            return self.embed.attend(x.astype(jnp.float32))
-        return self.lm_head(x.astype(jnp.float32))
+            emb = self.embed.embedding.astype(x.dtype)
+            return jax.lax.dot_general(
+                x, emb,
+                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        return self.lm_head(x)
 
     @staticmethod
     def kv_media_for(latents) -> jax.Array:

@@ -128,12 +128,17 @@ class CausalLM(nn.Module):
             caches.append(cache)
         x = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "final_ln")(x)
         if cfg.tie_embeddings:
-            logits = embed.attend(x.astype(jnp.float32))
+            emb = embed.embedding.astype(x.dtype)
+            logits = jax.lax.dot_general(
+                x, emb,
+                dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
         else:
             logits = nn.Dense(
-                cfg.vocab_size, use_bias=False, dtype=jnp.float32,
+                cfg.vocab_size, use_bias=False, dtype=self.dtype,
                 param_dtype=jnp.float32, name="lm_head",
-            )(x.astype(jnp.float32))
+            )(x).astype(jnp.float32)
         if return_kv:
             return logits, {"self": caches}
         if decode_state is not None:

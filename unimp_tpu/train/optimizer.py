@@ -93,9 +93,13 @@ def embedding_row_mask_update(grads, params, answer_token_id: int):
     <answer> row's gradient in embedding tables."""
 
     def mask(path, g):
-        if path.endswith("embed/embedding") or path.endswith("lm_head/kernel"):
+        if path.endswith("embed/embedding"):
             row = jnp.zeros(g.shape[0], g.dtype).at[answer_token_id].set(1.0)
-            return g * row[:, None] if path.endswith("embedding") else g
+            return g * row[:, None]
+        if path.endswith("lm_head/kernel"):
+            # [D, V]: the <answer> entry is a column
+            col = jnp.zeros(g.shape[1], g.dtype).at[answer_token_id].set(1.0)
+            return g * col[None, :]
         return g
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(grads)
