@@ -110,10 +110,19 @@ def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10
                 [_norm(a) == _norm(target) for a in row], dtype=int
             )
             per_user.append(rank_metrics_for_hits(hits, ks=ks, len_gt=1))
+    # cross-host aggregation (reference: accelerator.gather,
+    # eval_search.py:150-155)
+    from unimp_tpu.evals.dist import gather_metric_lists
+
     keys = per_user[0].keys() if per_user else []
-    metrics = {k: float(np.mean([u[k] for u in per_user])) for k in keys}
+    metrics = {
+        k: float(np.mean(gather_metric_lists([u[k] for u in per_user])))
+        for k in keys
+    }
     metrics["items_per_sec"] = float(np.mean(throughput)) if throughput else 0.0
-    metrics["n_users"] = len(per_user)
+    metrics["n_users"] = int(
+        gather_metric_lists([float(len(per_user))]).sum()
+    )
     if dump_path:
         os.makedirs(os.path.dirname(dump_path) or ".", exist_ok=True)
         with open(dump_path, "w") as f:
