@@ -1,0 +1,125 @@
+"""Checkpoint-converter test: a synthetic OpenFlamingo-style state dict
+(HF-CLIP vision + perceiver + gated-xattn + fused-QKV NeoX decoder)
+must land on the Flax tree with correct layouts."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from unimp_tpu.models import UniMPModel, compute_q_media
+from unimp_tpu.models.config import (
+    LMConfig,
+    ResamplerConfig,
+    UniMPConfig,
+    VisionConfig,
+)
+from unimp_tpu.tools.convert_torch import convert_state_dict
+
+
+def _tiny_neox_model():
+    cfg = UniMPConfig(
+        VisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                     num_layers=1, num_heads=2),
+        ResamplerConfig(num_latents=4, depth=1, num_heads=2, head_dim=16),
+        LMConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                 norm="layernorm", positions="rope", rotary_pct=0.25,
+                 act="gelu", parallel_block=True, use_bias=True,
+                 tie_embeddings=False),
+        cross_attn_every_n=2,
+        dtype="float32",
+    )
+    model = UniMPModel(cfg)
+    ids = jnp.ones((1, 8), jnp.int32).at[0, 1].set(7)
+    vision = jnp.zeros((1, 1, 28, 28, 3), jnp.float32)
+    params = model.init(
+        jax.random.PRNGKey(0), ids, vision_x=vision,
+        q_media=compute_q_media(ids, 7),
+    )["params"]
+    return cfg, model, params
+
+
+def test_openflamingo_state_dict_maps():
+    cfg, model, params = _tiny_neox_model()
+    rng = np.random.default_rng(0)
+    h = cfg.lm.hidden_size
+    heads, hd = cfg.lm.num_heads, cfg.lm.head_dim
+    vh = cfg.vision.hidden_size
+    dv = cfg.resampler.num_heads * cfg.resampler.head_dim
+
+    sd = {}
+    # vision
+    sd["vision_encoder.vision_model.embeddings.class_embedding"] = (
+        rng.normal(size=(vh,)).astype(np.float32))
+    sd["vision_encoder.vision_model.embeddings.patch_embedding.weight"] = (
+        rng.normal(size=(vh, 3, 14, 14)).astype(np.float32))
+    sd["vision_encoder.vision_model.encoder.layers.0.self_attn.q_proj.weight"] = (
+        rng.normal(size=(vh, vh)).astype(np.float32))
+    # perceiver fused kv
+    sd["perceiver.latents"] = rng.normal(size=(4, vh)).astype(np.float32)
+    sd["perceiver.layers.0.0.to_kv.weight"] = (
+        rng.normal(size=(2 * dv, vh)).astype(np.float32))
+    sd["perceiver.layers.0.0.to_q.weight"] = (
+        rng.normal(size=(dv, vh)).astype(np.float32))
+    # gated xattn
+    sd["lang_encoder.gated_cross_attn_layers.0.attn_gate"] = np.float32(0.5)
+    sd["lang_encoder.gated_cross_attn_layers.0.attn.to_kv.weight"] = (
+        rng.normal(size=(2 * h, vh)).astype(np.float32))
+    # NeoX decoder with fused per-head qkv
+    qkv = rng.normal(size=(heads, 3, hd, h)).astype(np.float32)
+    sd["lang_encoder.gpt_neox.layers.0.attention.query_key_value.weight"] = (
+        qkv.reshape(heads * 3 * hd, h))
+    sd["lang_encoder.gpt_neox.layers.0.attention.query_key_value.bias"] = (
+        rng.normal(size=(heads, 3, hd)).astype(np.float32).reshape(-1))
+    sd["lang_encoder.gpt_neox.layers.0.input_layernorm.weight"] = (
+        np.full((h,), 2.0, np.float32))
+    sd["lang_encoder.gpt_neox.embed_in.weight"] = (
+        rng.normal(size=(60, h)).astype(np.float32))  # grown 60 -> 64
+    sd["lang_encoder.embed_out.weight"] = (
+        rng.normal(size=(64, h)).astype(np.float32))
+
+    out, report = convert_state_dict(sd, params)
+    assert not any("split failed" in m for m in report["missed"]), report["missed"]
+
+    # vision patch embed: conv -> [p*p*3, vh]
+    np.testing.assert_allclose(
+        out["vision"]["patch_embed"]["kernel"],
+        sd["vision_encoder.vision_model.embeddings.patch_embedding.weight"]
+        .transpose(2, 3, 1, 0).reshape(-1, vh),
+    )
+    # CLS token reshaped to [1, 1, vh]
+    assert out["vision"]["cls_token"].shape == params["vision"]["cls_token"].shape
+    # perceiver kv split halves, transposed to [in, H, d]
+    kv = sd["perceiver.layers.0.0.to_kv.weight"]
+    np.testing.assert_allclose(
+        out["resampler"]["block_0"]["attn"]["k_proj"]["kernel"].reshape(vh, dv),
+        kv[:dv].T,
+    )
+    np.testing.assert_allclose(
+        out["resampler"]["block_0"]["attn"]["v_proj"]["kernel"].reshape(vh, dv),
+        kv[dv:].T,
+    )
+    # gate scalar
+    assert float(out["xattn_0"]["attn_gate"]) == 0.5
+    # NeoX fused qkv: per-head interleave → q kernel [h, heads, hd]
+    np.testing.assert_allclose(
+        out["block_0"]["attn"]["q_proj"]["kernel"],
+        qkv[:, 0].reshape(heads * hd, h).T.reshape(h, heads, hd),
+    )
+    np.testing.assert_allclose(
+        out["block_0"]["attn"]["v_proj"]["kernel"],
+        qkv[:, 2].reshape(heads * hd, h).T.reshape(h, heads, hd),
+    )
+    # layernorm weight -> flax LayerNorm "scale"
+    np.testing.assert_allclose(out["block_0"]["ln1"]["scale"], 2.0)
+    # embedding growth 60 -> 64: first rows copied, rest kept from init
+    np.testing.assert_allclose(
+        out["embed"]["embedding"][:60],
+        sd["lang_encoder.gpt_neox.embed_in.weight"],
+    )
+    # lm head [V, h] -> [h, V]
+    np.testing.assert_allclose(
+        out["lm_head"]["kernel"], sd["lang_encoder.embed_out.weight"].T
+    )
+    assert len(report["matched"]) >= 12
