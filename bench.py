@@ -106,6 +106,7 @@ def main():
             jax.block_until_ready(toks)
             done = 0
             pending = None
+            per_batch = []
             t0 = time.perf_counter()
             for batch in it:
                 lat = encode(jnp.asarray(batch["images"]))
@@ -116,14 +117,20 @@ def main():
                 if pending is not None:
                     jax.block_until_ready(pending)
                     done += pending.shape[0]
+                    per_batch.append(time.perf_counter() - t0)
+                    t0 = time.perf_counter()
                 pending = toks
                 if done >= limit:
                     break
             if pending is not None:
                 jax.block_until_ready(pending)
                 done += pending.shape[0]
-            dt = time.perf_counter() - t0
-            return done / dt if done else 0.0
+                per_batch.append(time.perf_counter() - t0)
+            if not per_batch:
+                return 0.0
+            # median batch time: robust to remote-TPU tunnel jitter
+            bs = done / len(per_batch)
+            return bs / float(np.median(per_batch))
 
         log("[bench] compiling + running batched eval ...")
         batched_ips = run(make_loader(batch_size), n_users - batch_size)

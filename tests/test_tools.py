@@ -242,3 +242,32 @@ def test_misc_converters_and_webdata(tmp_path):
     d1 = ShardedJsonlDataset(str(tmp_path / "shards" / "shard-*.jsonl"),
                              process_index=1, process_count=3)
     assert len(list(d0)) + len(list(d1)) <= 25
+
+
+def test_img_gen_decode_closure(tmp_path):
+    """Generated token strings decode back to images (end-to-end img_gen)."""
+    import json
+
+    from unimp_tpu.tools.vqgan import (
+        PatchVQTokenizer,
+        decode_generation_dump,
+        parse_img_tokens,
+    )
+
+    assert parse_img_tokens("img_789,img_591,") == [789, 591]
+    assert parse_img_tokens("img_12 img_bad img_5000 img_3") == [12, 3]
+
+    rng = np.random.default_rng(0)
+    imgs = rng.integers(0, 255, (4, 224, 224, 3), dtype=np.uint8)
+    vq = PatchVQTokenizer(patch=16, pca_dim=8, codebook_size=64).fit(imgs)
+    cb = str(tmp_path / "cb.npz")
+    vq.save(cb)
+    toks = vq.encode(imgs)[0][: 14 * 14]
+    dump = str(tmp_path / "dump.json")
+    json.dump([{"generated": "".join(f"img_{t}," for t in toks),
+                "target": "", "item": 0}], open(dump, "w"))
+    paths = decode_generation_dump(dump, cb, str(tmp_path / "out"))
+    assert len(paths) == 1
+    from PIL import Image
+
+    assert Image.open(paths[0]).size == (224, 224)

@@ -157,3 +157,42 @@ def tokenize_item_images(
                    for i, row in zip(item_ids, tokens)}, f)
     vq.save(os.path.join(data_dir, "vq_codebook.npz"))
     return mapping
+
+
+def parse_img_tokens(text: str) -> List[int]:
+    """'img_789,img_591, ...' (or space-separated 'img_789 img_591')
+    -> [789, 591, ...]; malformed pieces skipped."""
+    out = []
+    for piece in text.replace(",", " ").split():
+        if piece.startswith("img_"):
+            tail = piece[4:]
+            if tail.isdigit():
+                tok = int(tail)
+                if 0 <= tok < CODEBOOK_SIZE:
+                    out.append(tok)
+    return out
+
+
+def decode_generation_dump(dump_path: str, codebook_path: str, out_dir: str,
+                           grid: int = 14) -> List[str]:
+    """Decode an eval_img_gen dump (generated token strings) to PNGs —
+    the offline VQGAN decode step of the reference (README.md:48),
+    hermetic here. Sequences are padded/truncated to grid*grid tokens."""
+    import json as _json
+
+    from PIL import Image
+
+    vq = PatchVQTokenizer.load(codebook_path)
+    with open(dump_path) as f:
+        records = _json.load(f)
+    os.makedirs(out_dir, exist_ok=True)
+    paths = []
+    for i, rec in enumerate(records):
+        toks = parse_img_tokens(rec["generated"])
+        need = grid * grid
+        toks = (toks + [0] * need)[:need]
+        img = vq.decode(np.asarray([toks]), grid=grid)[0]
+        p = os.path.join(out_dir, f"gen_{i}.png")
+        Image.fromarray(img).save(p)
+        paths.append(p)
+    return paths
