@@ -190,3 +190,28 @@ def test_multimodal_generate_runs(model_and_params):
     )
     assert toks.shape == (2, 2, 4)
     assert np.isfinite(np.asarray(scores)).all()
+
+
+def test_sampling_modes(model_and_params):
+    cfg, model, params = model_and_params
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(10, cfg.lm.vocab_size, size=(2, 10)).astype(np.int32)
+    seq_len = np.array([10, 10], np.int32)
+
+    gen = Generator(
+        model,
+        GenerationConfig(max_new_tokens=6, eos_id=1, pad_id=0,
+                         temperature=1.0, top_k=20, top_p=0.9),
+        media_id=999,
+    )
+    t1, _ = gen.generate(params, jnp.asarray(prompt), jnp.asarray(seq_len),
+                         rng=jax.random.PRNGKey(0))
+    t2, _ = gen.generate(params, jnp.asarray(prompt), jnp.asarray(seq_len),
+                         rng=jax.random.PRNGKey(1))
+    assert t1.shape == (2, 1, 6)
+    # different seeds should (overwhelmingly) differ somewhere
+    assert not np.array_equal(np.asarray(t1), np.asarray(t2))
+    # same seed reproduces
+    t3, _ = gen.generate(params, jnp.asarray(prompt), jnp.asarray(seq_len),
+                         rng=jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))

@@ -44,6 +44,10 @@ class GenerationConfig:
     num_return_sequences: int = 1
     length_penalty: float = 1.0
     early_stopping: bool = True
+    # sampling (num_beams must be 1): temperature 0 = greedy
+    temperature: float = 0.0
+    top_k: int = 0  # 0 = disabled
+    top_p: float = 1.0  # 1.0 = disabled
 
 
 def left_align(input_ids, seq_len, pad_id):
@@ -71,14 +75,17 @@ class Generator:
 
     # -------------------------------------------------- public
 
-    def generate(self, params, input_ids, seq_len, latents=None):
-        """input_ids [B, T] right-padded; seq_len [B]; latents [B,M,L,D].
+    def generate(self, params, input_ids, seq_len, latents=None, rng=None):
+        """input_ids [B, T] right-padded; seq_len [B]; latents [B,M,L,D];
+        rng required only for sampling (temperature > 0).
 
         Returns (tokens [B, R, max_new], scores [B, R]).
         """
         if self._fn is None:
             self._fn = jax.jit(self._generate)
-        return self._fn(params, input_ids, seq_len, latents)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._fn(params, input_ids, seq_len, latents, rng)
 
     # -------------------------------------------------- internals
 
@@ -88,7 +95,7 @@ class Generator:
             {"params": params}, tokens, positions=positions, decode_state=ds
         )
 
-    def _generate(self, params, input_ids, seq_len, latents):
+    def _generate(self, params, input_ids, seq_len, latents, rng):
         cfg = self.cfg
         b, t = input_ids.shape
         k = cfg.num_beams
@@ -123,25 +130,49 @@ class Generator:
             "kv_media": kv_media,
         }
         if k == 1:
-            return self._greedy_loop(params, last_logits, state, start, t)
+            return self._greedy_loop(params, last_logits, state, start, t, rng)
         return self._beam_loop(params, last_logits, state, start, t, seq_len)
 
     # ---------------- greedy ----------------
 
-    def _greedy_loop(self, params, last_logits, state, start, t):
+    def _sample_from(self, logits, rng):
+        """Temperature / top-k / top-p filtered categorical sample."""
+        cfg = self.cfg
+        scaled = logits / jnp.maximum(cfg.temperature, 1e-6)
+        if cfg.top_k > 0:
+            kth = jnp.sort(scaled, axis=-1)[:, -cfg.top_k][:, None]
+            scaled = jnp.where(scaled < kth, NEG_INF, scaled)
+        if cfg.top_p < 1.0:
+            sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+            probs = jax.nn.softmax(sorted_desc, axis=-1)
+            csum = jnp.cumsum(probs, axis=-1)
+            # smallest set with cumulative prob >= top_p (nucleus)
+            keep = csum - probs < cfg.top_p
+            cutoff = jnp.min(
+                jnp.where(keep, sorted_desc, jnp.inf), axis=-1, keepdims=True
+            )
+            scaled = jnp.where(scaled < cutoff, NEG_INF, scaled)
+        return jax.random.categorical(rng, scaled, axis=-1).astype(jnp.int32)
+
+    def _greedy_loop(self, params, last_logits, state, start, t, rng):
         cfg = self.cfg
         b = last_logits.shape[0]
         max_new = cfg.max_new_tokens
         gen0 = self.model.init_gen_caches(b, max_new)
+        sampling = cfg.temperature > 0.0
 
         def cond(carry):
-            step, _, _, _, done, _ = carry
+            step, _, _, _, done, _, _ = carry
             return (step < max_new) & ~jnp.all(done)
 
         def body(carry):
-            step, tokens, logits, gen, done, scores = carry
+            step, tokens, logits, gen, done, scores, key = carry
             logp = jax.nn.log_softmax(logits, axis=-1)
-            nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
+            if sampling:
+                key, sub = jax.random.split(key)
+                nxt = self._sample_from(logits.astype(jnp.float32), sub)
+            else:
+                nxt = jnp.argmax(logp, axis=-1).astype(jnp.int32)
             nxt = jnp.where(done, cfg.pad_id, nxt)
             scores = scores + jnp.where(
                 done, 0.0, jnp.take_along_axis(logp, nxt[:, None], 1)[:, 0]
@@ -152,13 +183,13 @@ class Generator:
             new_logits, gen = self._decode_step(
                 params, nxt[:, None], state, gen, step, pos
             )
-            return step + 1, tokens, new_logits[:, 0], gen, done, scores
+            return step + 1, tokens, new_logits[:, 0], gen, done, scores, key
 
         tokens0 = jnp.full((b, max_new), cfg.pad_id, jnp.int32)
         done0 = jnp.zeros((b,), bool)
         carry = (jnp.int32(0), tokens0, last_logits, gen0, done0,
-                 jnp.zeros((b,), jnp.float32))
-        _, tokens, _, _, _, scores = jax.lax.while_loop(cond, body, carry)
+                 jnp.zeros((b,), jnp.float32), rng)
+        _, tokens, _, _, _, scores, _ = jax.lax.while_loop(cond, body, carry)
         return tokens[:, None, :], scores[:, None]
 
     # ---------------- beam search ----------------
