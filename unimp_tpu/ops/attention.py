@@ -19,16 +19,23 @@ from unimp_tpu.ops.flash_attention import flash_attention
 # Force a backend: "pallas" | "xla" | "" (auto).
 _ENV_IMPL = "UNIMP_ATTN_IMPL"
 
+# Auto-dispatch threshold: below this KV length XLA's fused attention is
+# as fast and avoids kernel-launch/tiling overhead (measured on v5e:
+# ~10% train-throughput edge at seq 128); at/above it the Pallas flash
+# kernel wins on memory traffic and enables long sequences.
+_PALLAS_MIN_KV = int(os.environ.get("UNIMP_PALLAS_MIN_KV", "512"))
 
-def _resolve_impl(impl: Optional[str]) -> str:
+
+def _resolve_impl(impl: Optional[str], skv: int) -> str:
     if impl in ("pallas", "xla"):
         return impl
     env = os.environ.get(_ENV_IMPL, "")
     if env in ("pallas", "xla"):
         return env
-    # Auto: the Pallas kernel is the production path on TPU. Off-TPU it
-    # would run interpreted (orders of magnitude slower), so use XLA.
-    return "pallas" if jax.default_backend() == "tpu" else "xla"
+    # Off-TPU the Pallas kernel would run interpreted — always XLA.
+    if jax.default_backend() != "tpu":
+        return "xla"
+    return "pallas" if skv >= _PALLAS_MIN_KV else "xla"
 
 
 def multi_head_attention(
@@ -51,7 +58,7 @@ def multi_head_attention(
     should pass ``kv_len``; ``mask.kv_valid`` exists for the reference
     implementation and for tests.
     """
-    impl = _resolve_impl(impl)
+    impl = _resolve_impl(impl, k.shape[1])
     mask = mask or AttnMask()
     if impl == "xla":
         if (kv_len is not None or kv_start is not None) and mask.kv_valid is None:
