@@ -215,3 +215,45 @@ def test_sampling_modes(model_and_params):
     t3, _ = gen.generate(params, jnp.asarray(prompt), jnp.asarray(seq_len),
                          rng=jax.random.PRNGKey(0))
     np.testing.assert_array_equal(np.asarray(t1), np.asarray(t3))
+
+
+def test_streaming_generator_matches_batch_greedy(model_and_params):
+    from unimp_tpu.tools import synth_data
+    import tempfile
+
+    cfg, model, params = model_and_params
+
+    class _Tok:
+        eos_token_id = 3
+        media_token_id = 7
+
+        def encode(self, text, add_bos=False, add_eos=False):
+            ids = [int(w) for w in text.split()]
+            return ([2] + ids) if add_bos else ids
+
+        def decode(self, ids, skip_special_tokens=True):
+            return " ".join(str(i) for i in ids)
+
+    from unimp_tpu.decode.streaming import StreamingGenerator
+
+    tok = _Tok()
+    prompt_ids = [int(x) for x in np.random.default_rng(0).integers(
+        10, cfg.lm.vocab_size, size=9)]
+    prompt = " ".join(str(i) for i in prompt_ids)
+
+    streamer = StreamingGenerator(model, tok, max_new_tokens=5)
+    texts = list(streamer.stream(params, prompt))
+    assert texts, "no tokens streamed"
+    streamed = [int(x) for x in texts[-1].split()]
+
+    gen = Generator(
+        model, GenerationConfig(max_new_tokens=5, eos_id=3, pad_id=0),
+        media_id=7,
+    )
+    full = np.asarray([2] + prompt_ids, np.int32)[None]
+    toks, _ = gen.generate(params, jnp.asarray(full),
+                           jnp.asarray([len(prompt_ids) + 1], np.int32))
+    want = [t for t in np.asarray(toks)[0, 0].tolist() if t != 0]
+    # the batch generator records the eos token; streaming stops before it
+    want_no_eos = [t for t in want if t != 3]
+    assert streamed == want_no_eos
