@@ -89,12 +89,13 @@ def main():
         gen = Generator(model, gen_cfg, media_id=tok.media_token_id)
 
         def run(loader, limit):
-            encode = jax.jit(
-                lambda v: model.apply(
-                    {"params": params}, normalize_on_device(v),
+            encode_fn = jax.jit(
+                lambda p, v: model.apply(
+                    {"params": p}, normalize_on_device(v),
                     method=UniMPModel.encode_vision,
                 )
             )
+            encode = lambda v: encode_fn(params, v)  # noqa: E731
             # warmup/compile on the first batch
             it = iter(loader)
             first = next(it)

@@ -227,7 +227,7 @@ def evaluate_classification(
     data = _load_manifest(manifest_path)
 
     @jax.jit
-    def score(params, ids, latents, q_media):
+    def score(params, ids, latents, q_media):  # params passed, not closed
         logits, _ = model.apply(
             {"params": params}, ids, latents=latents, q_media=q_media
         )

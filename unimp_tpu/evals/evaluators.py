@@ -62,16 +62,18 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg):
     import jax
 
     @jax.jit
-    def encode(v):
+    def encode(p, v):
+        # params as an argument, NOT a closure: closed-over arrays are
+        # baked into the HLO as constants, which breaks large models.
         return model.apply(
-            {"params": params}, normalize_on_device(v),
+            {"params": p}, normalize_on_device(v),
             method=type(model).encode_vision,
         )
 
     pending = None  # (tokens_device, batch, t_start)
     t0 = time.perf_counter()
     for batch in loader:
-        latents = encode(jnp.asarray(batch["images"]))
+        latents = encode(params, jnp.asarray(batch["images"]))
         tokens, _ = gen.generate(
             params,
             jnp.asarray(batch["input_ids"]),

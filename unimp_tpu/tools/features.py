@@ -31,10 +31,10 @@ def extract_image_features(model, params, data_dir, subset, item_ids,
     from unimp_tpu.data.transforms import load_image_rgb, preprocess_image
 
     @jax.jit
-    def encode(pix):
+    def encode(p, pix):
         feats = model.apply(
-            {"params": params}, pix,
-            method=lambda m, p: m.vision(p),
+            {"params": p}, pix,
+            method=lambda m, x: m.vision(x),
         )
         return jnp.mean(feats, axis=1)
 
@@ -48,7 +48,7 @@ def extract_image_features(model, params, data_dir, subset, item_ids,
             )
             for it in chunk
         ])
-        out.append(np.asarray(encode(jnp.asarray(imgs))))
+        out.append(np.asarray(encode(params, jnp.asarray(imgs))))
     return np.concatenate(out, axis=0)
 
 
@@ -60,9 +60,9 @@ def extract_text_features(model, params, tokenizer, texts, batch_size=64):
     max_len = max(len(tokenizer.encode(t)) for t in texts)
 
     @jax.jit
-    def embed(ids, mask):
+    def embed(p, ids, mask):
         e = model.apply(
-            {"params": params}, ids, method=lambda m, i: m.embed(i)
+            {"params": p}, ids, method=lambda m, i: m.embed(i)
         ).astype(jnp.float32)
         denom = jnp.maximum(jnp.sum(mask, axis=1, keepdims=True), 1)
         return jnp.sum(e * mask[:, :, None], axis=1) / denom
@@ -76,7 +76,7 @@ def extract_text_features(model, params, tokenizer, texts, batch_size=64):
             row = tokenizer.encode(t)[:max_len]
             ids[j, : len(row)] = row
             mask[j, : len(row)] = 1.0
-        out.append(np.asarray(embed(ids, mask)))
+        out.append(np.asarray(embed(params, ids, mask)))
     return np.concatenate(out, axis=0)
 
 
