@@ -40,8 +40,8 @@ def main():
     from unimp_tpu.models import UniMPModel, compute_q_media, get_config
     from unimp_tpu.tools import synth_data
 
-    batch_size = int(os.environ.get("BENCH_BATCH", "16"))
-    n_users = int(os.environ.get("BENCH_USERS", "64"))
+    batch_size = int(os.environ.get("BENCH_BATCH", "32"))
+    n_users = int(os.environ.get("BENCH_USERS", "96"))
     beams = int(os.environ.get("BENCH_BEAMS", "10"))
     max_new = int(os.environ.get("BENCH_MAX_NEW", "50"))
     baseline_users = int(os.environ.get("BENCH_BASELINE_USERS", "8"))
@@ -81,6 +81,9 @@ def main():
             )["params"]
         )(rng)
 
+        from unimp_tpu.utils.inference import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new, eos_id=tok.eos_token_id,
             pad_id=tok.eos_token_id, num_beams=beams,
@@ -104,7 +107,8 @@ def main():
                 params, jnp.asarray(first["input_ids"]),
                 jnp.asarray(first["seq_len"]), lat,
             )
-            jax.block_until_ready(toks)
+            np.asarray(toks)  # materialize: block_until_ready is not a
+            # reliable sync point on the remote-tunnel TPU platform
             done = 0
             pending = None
             per_batch = []
@@ -116,7 +120,7 @@ def main():
                     jnp.asarray(batch["seq_len"]), lat,
                 )
                 if pending is not None:
-                    jax.block_until_ready(pending)
+                    np.asarray(pending)
                     done += pending.shape[0]
                     per_batch.append(time.perf_counter() - t0)
                     t0 = time.perf_counter()
@@ -124,7 +128,7 @@ def main():
                 if done >= limit:
                     break
             if pending is not None:
-                jax.block_until_ready(pending)
+                np.asarray(pending)
                 done += pending.shape[0]
                 per_batch.append(time.perf_counter() - t0)
             if not per_batch:

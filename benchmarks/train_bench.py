@@ -65,9 +65,10 @@ def main():
         trainer.optimizer = make_optimizer(params, learning_rate=1e-4)
         state = trainer.init_state(rng, sample)
 
-        # warmup/compile
+        # warmup/compile (float() materializes; block_until_ready is not
+        # a reliable sync point on the remote-tunnel TPU platform)
         state, m = trainer.train_step(state, sample)
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         t0 = time.perf_counter()
         it = iter(dl)
         done = 0
@@ -79,7 +80,7 @@ def main():
                 b = next(it)
             state, m = trainer.train_step(state, b)
             done += batch
-        jax.block_until_ready(m["loss"])
+        float(m["loss"])
         dt = time.perf_counter() - t0
     print(json.dumps({
         "metric": f"train_samples_per_sec_{variant}",

@@ -86,6 +86,10 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--trace_dir", type=str, default=None,
                    help="capture a jax.profiler trace of training steps")
     p.add_argument("--num_beams", type=int, default=10)
+    p.add_argument("--eval_param_dtype", type=str, default="bf16",
+                   choices=["bf16", "fp32"],
+                   help="cast params for eval/serving (bf16 halves the "
+                        "weight bandwidth of decode)")
     return p
 
 

@@ -61,6 +61,11 @@ def main(argv=None):
                 load_dir, args.load_weights_name, like=params
             )
 
+    if args.eval_param_dtype == "bf16":
+        from unimp_tpu.utils.inference import cast_params_for_inference
+
+        params = cast_params_for_inference(params)
+
     save_dir = os.path.join(args.external_save_dir or ".", args.run_name)
     logger = MetricLogger(save_dir, f"{args.run_name}_eval", rank=rank,
                           use_wandb=args.report_to_wandb,
