@@ -10,6 +10,13 @@ Attention has two modes:
   * decode: single-token step against a SPLIT cache — shared prompt KV
     [B, T] plus per-beam generated KV [B*K, G] — via
     unimp_tpu.ops.decode_attention (see that module for why).
+
+Decode steps are kernel-launch bound (tiny matmuls), so the q/k/v
+projections fuse into ONE matmul (and the SwiGLU gate/up pair into one)
+— the weight concatenations are loop-invariant and hoisted out of the
+decode while-loop by XLA. Projection parameters are declared explicitly
+with DenseGeneral-compatible names/shapes (q_proj/kernel [D, H, d] etc.)
+so checkpoints and sharding rules are unaffected.
 """
 
 from __future__ import annotations
@@ -76,8 +83,68 @@ def apply_rope(x: jax.Array, positions: jax.Array, rotary_pct: float, theta: flo
     return jnp.concatenate([rotated, x_pass], axis=-1)
 
 
+class Proj(nn.Module):
+    """Explicit DenseGeneral-equivalent projection (kernel [in, H, d]).
+
+    Param tree matches nn.DenseGeneral(features=(H, d)) exactly so the
+    checkpoint converter and sharding rules stay valid, while giving the
+    owner module direct access to the weights for fusion.
+    """
+
+    heads: int
+    head_dim: int
+    use_bias: bool
+
+    @nn.compact
+    def weights(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_dim, self.heads, self.head_dim), jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros,
+                (self.heads, self.head_dim), jnp.float32,
+            )
+        return kernel, bias
+
+    def __call__(self, x):
+        kernel, bias = self.weights(x.shape[-1])
+        y = jnp.einsum(
+            "...d,dhk->...hk", x, kernel.astype(x.dtype)
+        )
+        if bias is not None:
+            y = y + bias.astype(y.dtype)
+        return y
+
+
+class DenseWeights(nn.Module):
+    """Explicit nn.Dense-equivalent weights (kernel [in, F], bias [F]) —
+    same param tree as nn.Dense, but the owner can fuse the matmuls."""
+
+    features: int
+    use_bias: bool
+
+    @nn.compact
+    def weights(self, in_dim: int):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (in_dim, self.features), jnp.float32,
+        )
+        bias = None
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.features,), jnp.float32
+            )
+        return kernel, bias
+
+
 class Mlp(nn.Module):
-    """Transformer MLP; act="silu" selects a SwiGLU (gate*up) block."""
+    """Transformer MLP; act="silu" selects a SwiGLU (gate*up) block.
+
+    fuse=True (decode path) runs gate+up as one matmul.
+    """
 
     hidden: int
     act: str = "gelu"
@@ -86,13 +153,23 @@ class Mlp(nn.Module):
     quick_gelu: bool = False  # CLIP uses x*sigmoid(1.702x)
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fuse: bool = False):
         d_model = x.shape[-1]
         if self.act == "silu":
-            gate = nn.Dense(self.hidden, use_bias=self.use_bias, dtype=self.dtype,
-                            param_dtype=jnp.float32, name="gate")(x)
-            up = nn.Dense(self.hidden, use_bias=self.use_bias, dtype=self.dtype,
-                          param_dtype=jnp.float32, name="up")(x)
+            gk, gb = DenseWeights(self.hidden, self.use_bias, name="gate").weights(d_model)
+            uk, ub = DenseWeights(self.hidden, self.use_bias, name="up").weights(d_model)
+            if fuse:
+                wk = jnp.concatenate([gk, uk], axis=1).astype(x.dtype)
+                y = x @ wk
+                if gb is not None:
+                    y = y + jnp.concatenate([gb, ub]).astype(y.dtype)
+                gate, up = jnp.split(y, 2, axis=-1)
+            else:
+                gate = x @ gk.astype(x.dtype)
+                up = x @ uk.astype(x.dtype)
+                if gb is not None:
+                    gate = gate + gb.astype(gate.dtype)
+                    up = up + ub.astype(up.dtype)
             h = nn.silu(gate) * up
         else:
             h = nn.Dense(self.hidden, use_bias=self.use_bias, dtype=self.dtype,
@@ -153,11 +230,10 @@ class Attention(nn.Module):
         """
         h, d = self.num_heads, self.head_dim
         hkv = self.num_kv_heads or h
-        dense = lambda feats, name: nn.DenseGeneral(  # noqa: E731
-            feats, axis=-1, use_bias=self.use_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, name=name,
-        )
-        q = dense((h, d), "q_proj")(x)
+        in_dim = x.shape[-1]
+        q_p = Proj(h, d, self.use_bias, name="q_proj")
+        k_p = Proj(hkv, d, self.use_bias, name="k_proj")
+        v_p = Proj(hkv, d, self.use_bias, name="v_proj")
 
         out_dim = self.out_dim or x.shape[-1]
         o_proj = nn.DenseGeneral(
@@ -167,14 +243,38 @@ class Attention(nn.Module):
 
         # ---- cross-attention decode against cached projected latents
         if xattn_cache is not None:
+            q = q_p(x)
             out = single_query_attention(
                 q[:, 0], xattn_cache["k"], xattn_cache["v"], xattn_allowed
             )
             return o_proj(out[:, None]), None
 
         kv_src = x if kv_x is None else kv_x
-        k = dense((hkv, d), "k_proj")(kv_src)
-        v = dense((hkv, d), "v_proj")(kv_src)
+        same_src = kv_x is None
+
+        if decode_state is not None and same_src:
+            # fused single-matmul qkv (concat hoisted out of the loop)
+            qk, qb = q_p.weights(in_dim)
+            kk, kb = k_p.weights(in_dim)
+            vk, vb = v_p.weights(in_dim)
+            wk = jnp.concatenate(
+                [qk.reshape(in_dim, -1), kk.reshape(in_dim, -1),
+                 vk.reshape(in_dim, -1)], axis=1,
+            ).astype(x.dtype)
+            y = x @ wk
+            if qb is not None:
+                y = y + jnp.concatenate(
+                    [qb.reshape(-1), kb.reshape(-1), vb.reshape(-1)]
+                ).astype(y.dtype)
+            b_, s_ = x.shape[:2]
+            q, k, v = jnp.split(y, [h * d, h * d + hkv * d], axis=-1)
+            q = q.reshape(b_, s_, h, d)
+            k = k.reshape(b_, s_, hkv, d)
+            v = v.reshape(b_, s_, hkv, d)
+        else:
+            q = q_p(x)
+            k = k_p(kv_src)
+            v = v_p(kv_src)
 
         alibi = None
         if self.positions_mode == "rope":

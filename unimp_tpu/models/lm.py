@@ -65,7 +65,7 @@ class DecoderBlock(nn.Module):
             mlp_out = Mlp(
                 hidden=cfg.mlp_dim, act=cfg.act, use_bias=cfg.use_bias,
                 dtype=self.dtype, name="mlp",
-            )(h2)
+            )(h2, fuse=decode_state is not None)
             return x + attn_out + mlp_out, cache
         h = make_norm(cfg.norm, cfg.layernorm_eps, self.dtype, "ln1")(x)
         attn_out, cache = attn(h, **kwargs)
@@ -74,7 +74,7 @@ class DecoderBlock(nn.Module):
         x = x + Mlp(
             hidden=cfg.mlp_dim, act=cfg.act, use_bias=cfg.use_bias,
             dtype=self.dtype, name="mlp",
-        )(h)
+        )(h, fuse=decode_state is not None)
         return x, cache
 
 
