@@ -194,3 +194,51 @@ def test_eval_dataset(data_dir, tokenizer):
     assert "target" in s and s["target"].startswith("item_")
     # eval samples are unframed (no bos/eos), matching eval_rec protocol
     assert s["input_ids"][0] != tokenizer.bos_token_id
+
+
+def test_hm_netflix_meta_formats():
+    """Per-subset meta extractors (rec_dataset.py:341-370 semantics)."""
+    from unimp_tpu.data.prompts import PromptBuilder
+
+    meta_nf = {"0": [2001, "The Matrix Reloaded"], "1": [1999, "The Matrix"]}
+    pb = PromptBuilder(subset="netflix", meta_data=meta_nf, history_len=3,
+                       n_items=2)
+    assert pb.extract_meta(0) == "Title The Matrix Reloaded Release Date 2001"
+
+    meta_hm = {"0": ["Slim Jeans", "Denim", "Dark Blue", "Menswear",
+                     "five pocket jeans"]}
+    pb2 = PromptBuilder(subset="hm", meta_data=meta_hm, history_len=8,
+                        n_items=1)
+    s = pb2.extract_meta(0)
+    assert s == ("Name Slim Jeans Appearance Denim Color Dark Blue "
+                 "Section Menswear")
+
+    # eval windows: hm uses the last 20 (rec_dataset.py:463-466)
+    seq = [[0, "", 3]] * 25
+    e = pb2.eval_rec(seq)
+    assert e.text.count("<image>") == 19  # seq[-20:-1]
+
+
+def test_semantic_id_prompts():
+    """--use_semantic answer formats (rec_dataset.py:414-427,885-893)."""
+    import numpy as np
+
+    from unimp_tpu.data.prompts import PromptBuilder
+
+    meta = {str(i): {"category": "c", "brand": "b", "title": "t",
+                     "price": "1", "keywords": "k"} for i in range(10)}
+    id2sem = {str(i): f"{i},{i+1},{i+2},{i % 4}" for i in range(10)}
+    pb = PromptBuilder(subset="all", meta_data=meta, history_len=3,
+                       n_items=10, use_semantic=True, id2semantic=id2sem)
+    rng = np.random.default_rng(0)
+    seq = [[i, "", 3] for i in range(6)]
+    s = pb.train_rec(seq, rng)
+    # rec train: joined WITHOUT separators; 4th code uses item_last_
+    assert "item_3item_4item_5item_last_3" in s.text.replace("item_0item_1", "x") or \
+        any(f"item_{i}item_{i+1}item_{i+2}item_last_{i%4}" in s.text for i in range(6))
+    # search: joined WITH spaces (rec_dataset.py:868)
+    s2 = pb.train_search(seq, rng)
+    assert any(
+        f"item_{i} item_{i+1} item_{i+2} item_last_{i%4}" in s2.text
+        for i in range(6)
+    )
