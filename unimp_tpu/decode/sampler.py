@@ -292,7 +292,8 @@ class Generator:
             ).reshape(b * k)
 
             def reorder(x):
-                return jnp.take(x, gather_idx, axis=0)
+                # merged gen caches are [2, BK, G, Hkv, D]
+                return jnp.take(x, gather_idx, axis=1)
 
             gen = jax.tree.map(reorder, gen)
             flat_tok = a_tok.reshape(b * k, 1)

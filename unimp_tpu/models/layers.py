@@ -290,25 +290,22 @@ class Attention(nn.Module):
         # ---- self-attention decode: split prompt/gen cache
         if decode_state is not None:
             step = decode_state["step"]
-            gen_k = jax.lax.dynamic_update_slice(
-                decode_state["gen"]["k"], k.astype(decode_state["gen"]["k"].dtype),
-                (0, step, 0, 0),
-            )
-            gen_v = jax.lax.dynamic_update_slice(
-                decode_state["gen"]["v"], v.astype(decode_state["gen"]["v"].dtype),
-                (0, step, 0, 0),
+            cache = decode_state["gen"]["kv"]
+            kv_new = jnp.stack([k, v], axis=0).astype(cache.dtype)
+            gen_kv = jax.lax.dynamic_update_slice(
+                cache, kv_new, (0, 0, step, 0, 0)
             )
             out = decode_attention(
                 q[:, 0],
                 decode_state["prompt"]["k"],
                 decode_state["prompt"]["v"],
-                gen_k,
-                gen_v,
+                gen_kv[0],
+                gen_kv[1],
                 step=step + 1,
                 kv_start=decode_state.get("kv_start"),
                 alibi=alibi,
             )
-            return o_proj(out[:, None]), {"k": gen_k, "v": gen_v}
+            return o_proj(out[:, None]), {"kv": gen_kv}
 
         # ---- full / prefill
         out = multi_head_attention(

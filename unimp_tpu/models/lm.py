@@ -79,10 +79,14 @@ class DecoderBlock(nn.Module):
 
 
 def init_gen_cache(batch: int, max_new: int, cfg: LMConfig, dtype=jnp.bfloat16):
-    """Per-layer generated-token KV cache [B*, max_new, Hkv, D]."""
+    """Per-layer generated-token KV cache, K and V merged into one array
+    [2, B*, max_new, Hkv, D] so the per-step beam reorder and cache write
+    are ONE kernel each per layer instead of two (decode is
+    kernel-launch bound on small steps)."""
     return {
-        "k": jnp.zeros((batch, max_new, cfg.kv_heads, cfg.head_dim), dtype),
-        "v": jnp.zeros((batch, max_new, cfg.kv_heads, cfg.head_dim), dtype),
+        "kv": jnp.zeros(
+            (2, batch, max_new, cfg.kv_heads, cfg.head_dim), dtype
+        ),
     }
 
 
