@@ -24,6 +24,10 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    from unimp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from unimp_tpu.data.dataset import TaskDataset
     from unimp_tpu.data.loader import DataLoader
     from unimp_tpu.data.transforms import normalize_on_device

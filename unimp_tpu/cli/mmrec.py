@@ -79,6 +79,9 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None):
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    from unimp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     rank = jax.process_index()
 
     tokenizer = common.build_tokenizer(args)

@@ -36,6 +36,9 @@ def init_params(args, model, tokenizer, sample_batch):
 
 def main(argv=None):
     args = build_parser(eval_only=True).parse_args(argv)
+    from unimp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     rank = jax.process_index()
 
     tokenizer = common.build_tokenizer(args)

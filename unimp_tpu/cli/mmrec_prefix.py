@@ -46,6 +46,9 @@ def frozen_mask(params):
 def main(argv=None):
     parser = build_parser(eval_only=True)
     args = parser.parse_args(argv)
+    from unimp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     if args.transfer_domain is None:
         args.transfer_domain = "office"
     rank = jax.process_index()
