@@ -51,6 +51,9 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--train_num_samples", type=int, default=None)
     p.add_argument("--mask_lm_head", action="store_true")
+    p.add_argument("--save_hf_model", default=False, action="store_true",
+                   help="also export final weights as a torch .pt with "
+                        "reference (OpenFlamingo) tensor names")
     p.add_argument("--single_task", default=False, action="store_true")
     p.add_argument("--train_method", type=str, default="multi_task",
                    help="multi_task | continue (curriculum)")

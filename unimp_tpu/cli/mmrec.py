@@ -196,6 +196,18 @@ def main(argv=None):
                     shutil.rmtree(prev)
     if rank == 0:
         ckpt.save_params(save_dir, state.params, "final_weights")
+        if args.save_hf_model:
+            from unimp_tpu.cli.arguments import variant_name
+            from unimp_tpu.models import get_config
+            from unimp_tpu.tools.export_torch import save_torch_checkpoint
+
+            family = ("mpt" if get_config(variant_name(args)).lm.positions
+                      == "alibi" else "neox")
+            out = os.path.join(save_dir, "final_weights_torch.pt")
+            save_torch_checkpoint(
+                jax.device_get(state.params), out, lm_family=family
+            )
+            logger.print(f"Exported torch checkpoint: {out}")
         logger.print(f"Saved final weights under {save_dir}")
     return state
 
