@@ -99,3 +99,34 @@ def test_transfer_freezes_backbone(env):
     assert mask["xattn_0"]["xattn"]["q_proj"]["kernel"] is False
     assert mask["embed"]["embedding"] is False
     assert mask["block_0"]["attn"]["q_proj"]["kernel"] is True
+
+
+def test_multitask_curriculum_cli(env):
+    """Multi-task mixture (25% subsample) + curriculum loader rebuild."""
+    data, runs = env
+    from unimp_tpu.cli import mmrec
+
+    state = mmrec.main(
+        [
+            "--pretrained_model_name_or_path=debug",
+            f"--mmrec_path={data}",
+            f"--external_save_dir={runs}",
+            "--subset=beauty",
+            "--task=exp",
+            "--n_items=32",
+            "--history_len=5",
+            "--patch-image-size=28",
+            "--batch_size=8",
+            "--num_epochs=2",
+            "--logging_steps=1",
+            "--warmup_steps=0",
+            "--workers=0",
+            "--max_records=8",
+            "--precision=fp32",
+            "--run_name=multi",
+            "--train_method=continue",
+            "--use_reweight",
+        ]
+    )
+    assert state is not None
+    assert int(state.step) >= 2
