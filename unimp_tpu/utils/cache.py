@@ -20,6 +20,15 @@ def enable_compilation_cache():
     _DONE = True
     import jax
 
+    # CPU AOT artifacts are machine-feature sensitive (loading one compiled
+    # with different CPU flags risks SIGILL); only the TPU compiles are
+    # expensive enough to cache anyway.
+    try:
+        if jax.default_backend() != "tpu":
+            return
+    except Exception:
+        return
+
     cache_dir = os.environ.get(
         "UNIMP_JAX_CACHE",
         os.path.join(os.path.expanduser("~"), ".cache", "unimp_tpu", "jax_cache"),
