@@ -89,8 +89,9 @@ class Generator:
 
     # -------------------------------------------------- internals
 
-    def _decode_step(self, params, tokens, state, gen, step, positions):
-        ds = dict(state, gen=gen, step=step)
+    def _decode_step(self, params, tokens, state, gen, step, positions,
+                     gen_index=None):
+        ds = dict(state, gen=gen, step=step, gen_index=gen_index)
         return self.model.apply(
             {"params": params}, tokens, positions=positions, decode_state=ds
         )
@@ -203,6 +204,9 @@ class Generator:
 
         start_k = jnp.repeat(start, k, axis=0)  # positions only
         gen0 = self.model.init_gen_caches(b * k, max_new)
+        # beam-ancestry table: anc[bk, g] = GLOBAL cache row holding beam
+        # bk's KV for generated position g (caches are never reordered)
+        anc0 = jnp.zeros((b * k, max_new), jnp.int32)
 
         alive_tok = jnp.full((b, k, max_new), cfg.pad_id, jnp.int32)
         alive_scores = jnp.concatenate(
@@ -221,7 +225,7 @@ class Generator:
 
         def body(carry):
             (step, alive_tok, alive_scores, fin_tok, fin_scores,
-             fin_count, done, logits, gen) = carry
+             fin_count, done, logits, gen, anc) = carry
 
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             cand = alive_scores[:, :, None] + logp  # [B, K, V]
@@ -286,31 +290,31 @@ class Generator:
                 row_done = (new_fin_count >= k) & (worst_fin >= best_running)
             new_done = done | row_done
 
-            # ---- reorder ONLY the generated-token caches, advance a step
+            # ---- ancestry update instead of physical cache reorder:
+            # new beam j inherits parent a_src[j]'s history rows and will
+            # write its own KV into its own slot at column `step`.
             gather_idx = (
                 jnp.arange(b)[:, None] * k + a_src
             ).reshape(b * k)
-
-            def reorder(x):
-                # merged gen caches are [2, BK, G, Hkv, D]
-                return jnp.take(x, gather_idx, axis=1)
-
-            gen = jax.tree.map(reorder, gen)
+            anc = jnp.take(anc, gather_idx, axis=0)
+            anc = anc.at[:, step].set(
+                jnp.arange(b * k, dtype=jnp.int32)
+            )
             flat_tok = a_tok.reshape(b * k, 1)
             # the token chosen this step occupies absolute position t+step
             pos = (t + step - start_k)[:, None]
             new_logits, gen = self._decode_step(
-                params, flat_tok, state, gen, step, pos
+                params, flat_tok, state, gen, step, pos, gen_index=anc
             )
 
             return (step + 1, new_alive_tok, new_alive_scores, new_fin_tok,
                     new_fin_scores, new_fin_count, new_done,
-                    new_logits.reshape(b, k, v), gen)
+                    new_logits.reshape(b, k, v), gen, anc)
 
         carry = (jnp.int32(0), alive_tok, alive_scores, fin_tok, fin_scores,
-                 fin_count, done, logits0, gen0)
+                 fin_count, done, logits0, gen0, anc0)
         (step, alive_tok, alive_scores, fin_tok, fin_scores,
-         fin_count, done, _, _) = jax.lax.while_loop(cond, body, carry)
+         fin_count, done, _, _, _) = jax.lax.while_loop(cond, body, carry)
 
         # ---- finalize: fill with running beams where fewer than K banked
         # (HF finalize: running beams added in score order).

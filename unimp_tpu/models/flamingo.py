@@ -216,6 +216,7 @@ class UniMPModel(nn.Module):
                     "gen": decode_state["gen"][i],
                     "step": decode_state["step"],
                     "kv_start": decode_state.get("kv_start"),
+                    "gen_index": decode_state.get("gen_index"),
                 }
                 x, gc = block(
                     x, positions=positions, decode_state=layer_ds,

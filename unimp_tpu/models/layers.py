@@ -295,12 +295,22 @@ class Attention(nn.Module):
             gen_kv = jax.lax.dynamic_update_slice(
                 cache, kv_new, (0, 0, step, 0, 0)
             )
+            read_kv = gen_kv
+            gen_index = decode_state.get("gen_index")
+            if gen_index is not None:
+                # beam-ancestry gather: the cache is NEVER physically
+                # reordered; each beam reads its ancestor's slot per
+                # generated position (saves a full cache read+write per
+                # step vs HF _reorder_cache)
+                read_kv = jnp.take_along_axis(
+                    gen_kv, gen_index[None, :, :, None, None], axis=1
+                )
             out = decode_attention(
                 q[:, 0],
                 decode_state["prompt"]["k"],
                 decode_state["prompt"]["v"],
-                gen_kv[0],
-                gen_kv[1],
+                read_kv[0],
+                read_kv[1],
                 step=step + 1,
                 kv_start=decode_state.get("kv_start"),
                 alibi=alibi,

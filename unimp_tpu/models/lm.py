@@ -123,6 +123,7 @@ class CausalLM(nn.Module):
                     "gen": decode_state["gen"][i],
                     "step": decode_state["step"],
                     "kv_start": decode_state.get("kv_start"),
+                    "gen_index": decode_state.get("gen_index"),
                 }
             x, cache = DecoderBlock(cfg, dtype=self.dtype, name=f"block_{i}")(
                 x, kv_len=kv_len, kv_start=kv_start, positions=positions,
