@@ -67,6 +67,11 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None):
         kwargs = {}
         if task in ("rec", "search"):
             kwargs["num_beams"] = args.num_beams
+            # per-rank metric dump, reference naming (eval_rec.py:158)
+            kwargs["dump_path"] = os.path.join(
+                args.external_save_dir or ".", args.run_name, "results",
+                f"{args.run_name}_{task}_epoch_{epoch}_rank_{jax.process_index()}.json",
+            )
         metrics = EVALUATORS[task](model, params, loader, tokenizer, **kwargs)
         results[task] = metrics
         logger.log({f"{task}/{k}": v for k, v in metrics.items()
