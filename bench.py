@@ -44,8 +44,9 @@ def main():
     from unimp_tpu.models import UniMPModel, compute_q_media, get_config
     from unimp_tpu.tools import synth_data
 
+    variant = os.environ.get("BENCH_VARIANT", "small")
     batch_size = int(os.environ.get("BENCH_BATCH", "32"))
-    n_users = int(os.environ.get("BENCH_USERS", "96"))
+    n_users = int(os.environ.get("BENCH_USERS", "160"))
     beams = int(os.environ.get("BENCH_BEAMS", "10"))
     max_new = int(os.environ.get("BENCH_MAX_NEW", "50"))
     baseline_users = int(os.environ.get("BENCH_BASELINE_USERS", "8"))
@@ -54,7 +55,7 @@ def main():
         synth_data.generate(d, n_items=256, n_users=max(n_users, 64),
                             image_size=64, seed=0)
         tok = synth_data.build_tokenizer(d, n_items=256)
-        cfg = get_config("small")
+        cfg = get_config(variant)
         cfg = cfg.replace(
             lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 128)
         )
@@ -95,7 +96,11 @@ def main():
         )
         gen = Generator(model, gen_cfg, media_id=tok.media_token_id)
 
+        pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "3"))
+
         def run(loader, limit):
+            from collections import deque
+
             encode_fn = jax.jit(
                 lambda p, v: model.apply(
                     {"params": p}, normalize_on_device(v),
@@ -113,9 +118,12 @@ def main():
             )
             np.asarray(toks)  # materialize: block_until_ready is not a
             # reliable sync point on the remote-tunnel TPU platform
+
+            # Steady-state pipeline: keep up to `pipeline_depth` decodes in
+            # flight so host prep + dispatch + result download all overlap
+            # with device decode; time is end-to-end over measured batches.
             done = 0
-            pending = None
-            per_batch = []
+            inflight = deque()
             t0 = time.perf_counter()
             for batch in it:
                 lat = encode(jnp.asarray(batch["images"]))
@@ -123,23 +131,15 @@ def main():
                     params, jnp.asarray(batch["input_ids"]),
                     jnp.asarray(batch["seq_len"]), lat,
                 )
-                if pending is not None:
-                    np.asarray(pending)
-                    done += pending.shape[0]
-                    per_batch.append(time.perf_counter() - t0)
-                    t0 = time.perf_counter()
-                pending = toks
+                inflight.append(toks)
+                while len(inflight) > pipeline_depth:
+                    done += np.asarray(inflight.popleft()).shape[0]
                 if done >= limit:
                     break
-            if pending is not None:
-                np.asarray(pending)
-                done += pending.shape[0]
-                per_batch.append(time.perf_counter() - t0)
-            if not per_batch:
-                return 0.0
-            # median batch time: robust to remote-TPU tunnel jitter
-            bs = done / len(per_batch)
-            return bs / float(np.median(per_batch))
+            while inflight:
+                done += np.asarray(inflight.popleft()).shape[0]
+            dt = time.perf_counter() - t0
+            return done / dt if done else 0.0
 
         # The remote-TPU tunnel has large wall-clock variance; take the
         # better of two passes (identical work) for both configurations.
@@ -153,12 +153,31 @@ def main():
         baseline_ips = max(baseline_ips, run(make_loader(1), baseline_users))
         log(f"[bench] baseline best: {baseline_ips:.2f} items/s")
 
-    print(json.dumps({
+        # decode MFU: analytic model FLOPs per item / measured wall time
+        from unimp_tpu.utils.flops import decode_flops, detect_peak_flops
+
+        prompt_len = int(probe["input_ids"].shape[1])
+        flops_per_item = decode_flops(
+            cfg, batch_size, prompt_len, images_per_sample=4,
+            num_beams=beams, new_tokens=max_new,
+        ) / batch_size
+        peak = detect_peak_flops()
+        n_params = sum(x.size for x in jax.tree.leaves(params))
+
+    out = {
         "metric": "eval_items_per_sec_rec_beam10",
         "value": round(batched_ips, 3),
         "unit": "items/sec",
         "vs_baseline": round(batched_ips / baseline_ips, 2) if baseline_ips else None,
-    }))
+        "variant": variant,
+        "params": int(n_params),
+        "mfu": round(batched_ips * flops_per_item / peak, 4),
+        "model_tflops_per_item": round(flops_per_item / 1e12, 4),
+        "peak_tflops": peak / 1e12,
+    }
+    if variant != "small":
+        out["metric"] = f"eval_items_per_sec_rec_beam10_{variant}"
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

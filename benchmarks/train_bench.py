@@ -40,11 +40,18 @@ def main():
     variant = os.environ.get("BENCH_VARIANT", "small")
     batch = int(os.environ.get("BENCH_BATCH", "8"))
     steps = int(os.environ.get("BENCH_STEPS", "20"))
+    image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "0"))  # 0 = variant's
+    remat = os.environ.get("BENCH_REMAT", "") == "1"
 
     with tempfile.TemporaryDirectory() as d:
-        synth_data.generate(d, n_items=128, n_users=64, image_size=64)
+        synth_data.generate(d, n_items=128, n_users=64,
+                            image_size=image_size or 64)
         tok = synth_data.build_tokenizer(d, n_items=128)
-        cfg = get_config(variant)
+        cfg = get_config(variant, remat=remat)
+        if image_size:
+            cfg = cfg.replace(
+                vision=dataclasses.replace(cfg.vision, image_size=image_size)
+            )
         cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 128))
         model = UniMPModel(cfg)
         ds = TaskDataset(d, "beauty", "rec", "train", tok, n_items=128,
@@ -60,13 +67,11 @@ def main():
         rng = jax.random.PRNGKey(0)
         sample = next(iter(dl))
         ids = jnp.asarray(sample["input_ids"])
-        params = model.init(
-            rng, ids,
-            vision_x=normalize_on_device(jnp.asarray(sample["images"])),
-            q_media=compute_q_media(ids, tok.media_token_id),
-        )["params"]
-        n_params = sum(x.size for x in jax.tree.leaves(params))
-        trainer.optimizer = make_optimizer(params, learning_rate=1e-4)
+        # abstract tree for the optimizer mask; real params are created
+        # once inside init_state (sharded-from-birth when mesh is set)
+        abstract = trainer.abstract_params(sample)
+        n_params = sum(x.size for x in jax.tree.leaves(abstract))
+        trainer.optimizer = make_optimizer(abstract, learning_rate=1e-4)
         state = trainer.init_state(rng, sample)
 
         # warmup/compile (float() materializes; block_until_ready is not
@@ -86,13 +91,26 @@ def main():
             done += batch
         float(m["loss"])
         dt = time.perf_counter() - t0
+
+    from unimp_tpu.utils.flops import detect_peak_flops, train_step_flops
+
+    step_flops = train_step_flops(cfg, batch, int(ids.shape[1]),
+                                  images_per_sample=5)
+    peak = detect_peak_flops()
+    flops_per_sec = step_flops * steps / dt
     print(json.dumps({
         "metric": f"train_samples_per_sec_{variant}",
         "value": round(done / dt, 3),
         "unit": "samples/sec",
         "params": n_params,
         "seq_len": int(ids.shape[1]),
+        "image_size": cfg.vision.image_size,
         "loss": float(m["loss"]),
+        "step_time_ms": round(dt / steps * 1e3, 1),
+        "model_tflops_per_step": round(step_flops / 1e12, 3),
+        "mfu": round(flops_per_sec / peak, 4),
+        "peak_tflops": peak / 1e12,
+        "remat": remat,
     }))
 
 

@@ -48,10 +48,10 @@ def test_train_eval_transfer_cli(env):
     data, runs = env
     from unimp_tpu.cli import mmrec, mmrec_eval, mmrec_prefix
 
-    # ---- train one epoch with per-epoch test eval
+    # ---- train one epoch with per-epoch eval-split AND test-split evals
     state = mmrec.main(
         _common_args(data, runs) + ["--run_name=smoke", "--do_test",
-                                    "--use_reweight"]
+                                    "--do_eval", "--use_reweight"]
     )
     assert state is not None
     run_dir = os.path.join(runs, "smoke")
@@ -60,7 +60,13 @@ def test_train_eval_transfer_cli(env):
     metrics_file = os.path.join(run_dir, "smoke_metrics.jsonl")
     lines = [json.loads(l) for l in open(metrics_file)]
     assert any("loss_multi_instruct" in l for l in lines)
-    assert any("rec/hr@3" in l for l in lines)
+    assert any("rec/hr@3" in l for l in lines)          # test split
+    assert any("rec/eval/hr@3" in l for l in lines)     # eval split
+    results_dir = os.path.join(run_dir, "results")
+    assert os.path.exists(os.path.join(
+        results_dir, "smoke_rec_test_epoch_0_rank_0.json"))
+    assert os.path.exists(os.path.join(
+        results_dir, "smoke_rec_eval_epoch_0_rank_0.json"))
 
     # ---- eval-only reload
     results = mmrec_eval.main(
@@ -97,8 +103,51 @@ def test_transfer_freezes_backbone(env):
     mask = frozen_mask(tree)
     assert mask["resampler"]["latents"] is False
     assert mask["xattn_0"]["xattn"]["q_proj"]["kernel"] is False
-    assert mask["embed"]["embedding"] is False
+    # embeddings stay trainable: the reference's freeze is immediately
+    # undone by resize_token_embeddings (mmrec_prefix.py:647-654), so the
+    # new item_domain_{i} rows must be learnable.
+    assert mask["embed"]["embedding"] is True
     assert mask["block_0"]["attn"]["q_proj"]["kernel"] is True
+
+
+def test_run_evals_dump_wiring(env, monkeypatch):
+    """run_evals routes split-aware dump paths to each evaluator and
+    appends results_exp.txt (reference eval_exp.py:152-175,
+    eval_img_gen.py:141-144) — checked with stubbed evaluators so no
+    decode runs."""
+    data, runs = env
+    from unimp_tpu.cli import common, mmrec
+    from unimp_tpu.cli.arguments import build_parser
+    from unimp_tpu.evals import EVALUATORS
+    from unimp_tpu.utils import MetricLogger
+
+    args = build_parser().parse_args(
+        _common_args(data, runs, task="rec") + ["--run_name=dumps"])
+    tokenizer = common.build_tokenizer(args)
+    calls = {}
+
+    def make_stub(task):
+        def stub(model, params, loader, tokenizer, **kw):
+            calls[task] = kw
+            return {"rmse": 1.0, "mae": 0.5, "bleu": 0.1, "rouge1": 0.1,
+                    "rouge2": 0.1, "rougeL": 0.1, "meteor": 0.1}
+        return stub
+
+    for task in ("rec", "search", "exp", "img_gen", "img_sel"):
+        monkeypatch.setitem(EVALUATORS, task, make_stub(task))
+
+    run_dir = os.path.join(runs, "dumps")
+    logger = MetricLogger(run_dir, "dumps", rank=0)
+    mmrec.run_evals(args, None, None, tokenizer, logger, epoch=3,
+                    tasks=["rec", "exp", "img_gen"], split="eval")
+
+    assert "dumps_rec_eval_epoch_3_rank_0.json" in calls["rec"]["dump_path"]
+    assert calls["exp"]["dump_dir"].endswith("save_gen")
+    assert calls["img_gen"]["dump_path"].endswith(
+        "save_img_gen/img_gen_0_epoch_3_name_dumps.json")
+    exp_txt = os.path.join(run_dir, "results_exp.txt")
+    assert os.path.exists(exp_txt)
+    assert "rmse: 1.0" in open(exp_txt).read()
 
 
 def test_multitask_curriculum_cli(env):

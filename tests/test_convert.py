@@ -162,3 +162,202 @@ def test_export_import_roundtrip(tmp_path):
     # must round-trip exactly
     real_misses = [m for m in mismatches if "gate" not in m]
     assert not real_misses, real_misses
+
+
+# ---------------------------------------------------------------------------
+# Ground truth from the reference's OWN torch classes
+# (/root/reference/UniMP/xformers_model/{llama,clip}.py). xformers is
+# stubbed with an exact plain-torch memory_efficient_attention so the
+# modules both instantiate AND run forward — giving real state-dict
+# names/layouts and real output logits to verify the converter against.
+
+import os
+
+import pytest
+
+REF = "/root/reference/UniMP"
+
+
+def _stub_xformers():
+    import sys
+    import types
+
+    if "xformers.ops" in sys.modules:
+        return
+    import torch
+
+    def memory_efficient_attention(q, k, v, attn_bias=None, p=0.0, scale=None):
+        # xops layout: [B, M, H, D]; attn_bias not None -> causal.
+        scale = scale if scale is not None else q.shape[-1] ** -0.5
+        att = torch.einsum("bmhd,bnhd->bhmn", q.float(), k.float()) * scale
+        if attn_bias is not None:
+            m, n = att.shape[-2:]
+            keep = torch.tril(torch.ones(m, n, dtype=torch.bool))
+            att = att.masked_fill(~keep, float("-inf"))
+        att = att.softmax(-1)
+        return torch.einsum("bhmn,bnhd->bmhd", att, v.float()).to(v.dtype)
+
+    ops = types.ModuleType("xformers.ops")
+    ops.memory_efficient_attention = memory_efficient_attention
+
+    class LowerTriangularMask:
+        pass
+
+    ops.LowerTriangularMask = LowerTriangularMask
+    xf = types.ModuleType("xformers")
+    xf.ops = ops
+    sys.modules["xformers"] = xf
+    sys.modules["xformers.ops"] = ops
+
+
+def _reference_classes():
+    import sys
+
+    _stub_xformers()
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    from xformers_model.clip import CLIPVisionModel
+    from xformers_model.llama import LlamaForCausalLM
+
+    return LlamaForCausalLM, CLIPVisionModel
+
+
+def _tiny_llama_cfg():
+    from transformers import LlamaConfig
+
+    return LlamaConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=48,
+        num_hidden_layers=2, num_attention_heads=2,
+        max_position_embeddings=64, rms_norm_eps=1e-5,
+    )
+
+
+def _tiny_clip_cfg():
+    from transformers import CLIPVisionConfig
+
+    return CLIPVisionConfig(
+        hidden_size=32, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=2, image_size=28, patch_size=14,
+    )
+
+
+needs_ref = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree unavailable"
+)
+
+
+@needs_ref
+def test_reference_state_dicts_fully_map():
+    """Every tensor of the reference's real LlamaForCausalLM +
+    CLIPVisionModel state_dict() maps (or is a deliberately-skipped
+    RoPE/mask buffer) — nothing lands in `missed`."""
+    import torch
+
+    LlamaForCausalLM, CLIPVisionModel = _reference_classes()
+    torch.manual_seed(0)
+    tl = LlamaForCausalLM(_tiny_llama_cfg()).eval()
+    tv = CLIPVisionModel(_tiny_clip_cfg()).eval()
+    sd = {f"lang_encoder.{k}": v.numpy() for k, v in tl.state_dict().items()}
+    sd.update(
+        {f"vision_encoder.{k}": v.numpy() for k, v in tv.state_dict().items()}
+    )
+
+    cfg = UniMPConfig(
+        VisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                     num_layers=2, num_heads=2),
+        ResamplerConfig(num_latents=4, depth=1, num_heads=2, head_dim=16),
+        LMConfig(vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+                 mlp_hidden=48, norm="rmsnorm", positions="rope", act="silu",
+                 parallel_block=False, use_bias=False, tie_embeddings=False,
+                 layernorm_eps=1e-5),
+        cross_attn_every_n=2, dtype="float32",
+    )
+    model = UniMPModel(cfg)
+    ids = jnp.ones((1, 8), jnp.int32).at[0, 1].set(7)
+    params = model.init(
+        jax.random.PRNGKey(0), ids,
+        vision_x=jnp.zeros((1, 1, 28, 28, 3), jnp.float32),
+        q_media=compute_q_media(ids, 7),
+    )["params"]
+
+    out, report = convert_state_dict(sd, params)
+    assert report["missed"] == [], report["missed"]
+    assert set(report["matched"]) | set(report["skipped"]) == set(sd)
+
+    h, heads, hd = 32, 2, 16
+    q = sd["lang_encoder.model.layers.0.self_attn.q_proj.weight"]
+    np.testing.assert_allclose(
+        out["block_0"]["attn"]["q_proj"]["kernel"], q.T.reshape(h, heads, hd)
+    )
+    np.testing.assert_allclose(
+        out["block_0"]["mlp"]["gate"]["kernel"],
+        sd["lang_encoder.model.layers.0.mlp.gate_proj.weight"].T,
+    )
+    np.testing.assert_allclose(
+        out["block_0"]["ln1"]["scale"],
+        sd["lang_encoder.model.layers.0.input_layernorm.weight"],
+    )
+    np.testing.assert_allclose(
+        out["vision"]["block_1"]["attn"]["v_proj"]["kernel"].reshape(h, h),
+        sd["vision_encoder.vision_model.encoder.layers.1.self_attn.v_proj.weight"].T,
+    )
+
+
+@needs_ref
+def test_reference_llama_forward_parity():
+    """Converted params reproduce the reference LlamaForCausalLM logits."""
+    import torch
+
+    from unimp_tpu.models.lm import CausalLM
+
+    LlamaForCausalLM, _ = _reference_classes()
+    torch.manual_seed(1)
+    tl = LlamaForCausalLM(_tiny_llama_cfg()).eval()
+    ids = np.array([[1, 5, 9, 3, 7, 2, 11, 4]], np.int32)
+    with torch.no_grad():
+        ref_logits = tl(input_ids=torch.tensor(ids, dtype=torch.long)).logits.numpy()
+
+    lmcfg = LMConfig(
+        vocab_size=64, hidden_size=32, num_layers=2, num_heads=2,
+        mlp_hidden=48, norm="rmsnorm", positions="rope", act="silu",
+        parallel_block=False, use_bias=False, tie_embeddings=False,
+        layernorm_eps=1e-5,
+    )
+    lm = CausalLM(lmcfg, dtype=jnp.float32)
+    init = lm.init(jax.random.PRNGKey(0), jnp.asarray(ids))["params"]
+    sd = {f"lang_encoder.{k}": v.numpy() for k, v in tl.state_dict().items()}
+    conv, report = convert_state_dict(sd, init)
+    assert report["missed"] == [], report["missed"]
+    logits, _ = lm.apply({"params": conv}, jnp.asarray(ids))
+    np.testing.assert_allclose(
+        np.asarray(logits), ref_logits, atol=2e-3, rtol=2e-3
+    )
+
+
+@needs_ref
+def test_reference_clip_forward_parity():
+    """Converted params reproduce the reference CLIPVisionModel patch
+    tokens (last_hidden_state WITHOUT post_layernorm, clip.py:469-471)."""
+    import torch
+
+    from unimp_tpu.models.vit import VisionTower
+
+    _, CLIPVisionModel = _reference_classes()
+    torch.manual_seed(2)
+    tv = CLIPVisionModel(_tiny_clip_cfg()).eval()
+    rng = np.random.default_rng(0)
+    px = rng.normal(size=(2, 3, 28, 28)).astype(np.float32)
+    with torch.no_grad():
+        ref = tv(pixel_values=torch.tensor(px)).last_hidden_state.numpy()[:, 1:]
+
+    vcfg = VisionConfig(image_size=28, patch_size=14, hidden_size=32,
+                        num_layers=2, num_heads=2)
+    tower = VisionTower(vcfg, dtype=jnp.float32)
+    init = tower.init(jax.random.PRNGKey(0), jnp.zeros((2, 28, 28, 3)))["params"]
+    sd = {f"vision_encoder.{k}": v.numpy() for k, v in tv.state_dict().items()}
+    conv, report = convert_state_dict(sd, {"vision": init})
+    assert report["missed"] == [], report["missed"]
+    got = tower.apply(
+        {"params": conv["vision"]}, jnp.asarray(px.transpose(0, 2, 3, 1))
+    )
+    np.testing.assert_allclose(np.asarray(got), ref, atol=2e-3, rtol=2e-3)

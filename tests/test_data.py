@@ -151,6 +151,43 @@ def test_img_gen_prompts(data_dir):
     assert e.text.endswith("Image ID to the query based on the history? <answer>")
     assert e.target.startswith("img_")
 
+    # pretrain variant: exact strings (rec_dataset.py:550 train /
+    # :588 eval — note "image" vs "Image" and space-joined img ids)
+    item = next(iter(meta))
+    sid = " ".join(f"img_{i}" for i in img_sem[str(item)])
+    query = " ".join(str(meta[str(item)]["title"]).split()[:30])
+    t = pb.train_img_gen_pretrain(item, rng)
+    assert t.text == (
+        f"Query: {query}. What is the generated image ID to the query? "
+        f"<answer> {sid}"
+    )
+    assert t.image_ids == [item] and t.weight == 1.0
+    ev = pb.eval_img_gen_pretrain(item)
+    assert ev.text == (
+        f"Query: {query}. What is the generated Image ID to the query? "
+        "<answer>"
+    )
+    assert ev.target == sid and ev.extra == {"item": item}
+
+
+def test_img_gen_pretrain_dataset(data_dir, tokenizer):
+    """img_gen_pretrain iterates the catalog; samples tokenize + train."""
+    from unimp_tpu.data.dataset import TaskDataset
+
+    ds = TaskDataset(
+        data_dir, "beauty", "img_gen_pretrain", "train", tokenizer,
+        n_items=32, history_len=2, image_size=28,
+    )
+    assert len(ds) == 32  # one record per catalog item
+    s = ds[0]
+    assert s["input_ids"].dtype == np.int32
+    assert s["images"].shape[0] == 1
+    ev = TaskDataset(
+        data_dir, "beauty", "img_gen_pretrain", "test", tokenizer,
+        n_items=32, history_len=2, image_size=28, max_records=4,
+    )[0]
+    assert ev["target"].startswith("img_")
+
 
 def test_dataset_and_loader(data_dir, tokenizer):
     from unimp_tpu.data.dataset import TaskDataset
@@ -242,3 +279,38 @@ def test_semantic_id_prompts():
         f"item_{i} item_{i+1} item_{i+2} item_last_{i%4}" in s2.text
         for i in range(6)
     )
+
+
+def test_loader_bounded_inflight(data_dir, tokenizer):
+    """The threaded loader keeps at most num_workers+prefetch batches in
+    flight instead of submitting the whole epoch up front."""
+    import threading
+
+    from unimp_tpu.data.dataset import TaskDataset
+    from unimp_tpu.data.loader import DataLoader
+
+    ds = TaskDataset(data_dir, "beauty", "rec", "train", tokenizer,
+                     n_items=32, history_len=5, image_size=28)
+    dl = DataLoader(ds, batch_size=2, pad_id=tokenizer.pad_token_id,
+                    num_workers=2, prefetch=1, pad_to_multiple=32)
+    peak = 0
+    lock = threading.Lock()
+    live = 0
+    orig = dl._make_batch
+
+    def counting(bi):
+        nonlocal peak, live
+        with lock:
+            live += 1
+            peak = max(peak, live)
+        try:
+            return orig(bi)
+        finally:
+            with lock:
+                live -= 1
+    dl._make_batch = counting
+
+    batches = list(dl)
+    assert len(batches) == len(dl)
+    # only num_workers(2) batches can *run* concurrently
+    assert peak <= 2

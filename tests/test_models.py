@@ -111,3 +111,59 @@ def test_variant_configs_construct():
         cfg = get_config(name)
         assert cfg.vision.num_patches == 256
         assert cfg.lm.head_dim * cfg.lm.num_heads == cfg.lm.hidden_size
+
+
+def test_config_from_json(tmp_path):
+    """Otter/Flamingo config.json -> UniMPConfig (recommender.py:421-422,
+    pipeline/train/config.json field names)."""
+    import json
+
+    from unimp_tpu.models.config import config_from_json
+
+    cfg_path = tmp_path / "config.json"
+    cfg_path.write_text(json.dumps({
+        "model_type": "otter",
+        "cross_attn_every_n_layers": 4,
+        "tie_word_embeddings": False,
+        "text_config": {
+            "_name_or_path": "luodian/llama-7b-hf",
+            "model_type": "llama",
+            "hidden_size": 64,
+            "num_hidden_layers": 2,
+            "num_attention_heads": 2,
+            "intermediate_size": 96,
+            "vocab_size": 128,
+            "rms_norm_eps": 1e-6,
+        },
+        "vision_config": {
+            "model_type": "clip_vision_model",
+            "hidden_size": 32,
+            "intermediate_size": 128,
+            "num_attention_heads": 2,
+            "num_hidden_layers": 2,
+            "image_size": 28,
+            "patch_size": 14,
+        },
+    }))
+    cfg = config_from_json(str(cfg_path))
+    assert cfg.cross_attn_every_n == 4
+    assert cfg.lm.norm == "rmsnorm" and cfg.lm.act == "silu"  # llama family
+    assert cfg.lm.hidden_size == 64 and cfg.lm.num_layers == 2
+    assert cfg.lm.mlp_dim == 96 and cfg.lm.vocab_size == 128
+    assert cfg.lm.tie_embeddings is False
+    assert cfg.lm.layernorm_eps == 1e-6
+    assert cfg.vision.image_size == 28 and cfg.vision.mlp_ratio == 4
+
+    # the model actually builds and runs from it
+    import jax
+
+    from unimp_tpu.models import UniMPModel, compute_q_media
+
+    model = UniMPModel(cfg.replace(dtype="float32"))
+    ids = jnp.ones((1, 8), jnp.int32).at[0, 1].set(7)
+    out, _ = model.init_with_output(
+        jax.random.PRNGKey(0), ids,
+        vision_x=jnp.zeros((1, 1, 28, 28, 3), jnp.float32),
+        q_media=compute_q_media(ids, 7),
+    )
+    assert out[0].shape == (1, 8, 128)

@@ -136,6 +136,101 @@ def test_fsdp_tp_mesh_step(setup):
     assert np.isfinite(float(metrics["loss"]))
 
 
+def _flat_paths(tree):
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {
+        "/".join(p.key if hasattr(p, "key") else str(p) for p in kp): v
+        for kp, v in flat
+    }
+
+
+def test_transfer_step_trains_embeddings_freezes_backbone(setup):
+    """Transfer (mmrec_prefix) semantics: after one train step the
+    embedding table rows for tokens in the batch change (new-domain
+    tokens are learnable) while the frozen resampler / gated-xattn
+    params do not move. Reference: mmrec_prefix.py:631-654 (freeze then
+    resize -> resized embedding trainable)."""
+    from unimp_tpu.cli.mmrec_prefix import frozen_mask
+
+    tok, model, dl = setup
+    batch = next(iter(dl))
+    mesh = make_mesh(dp=None, fsdp=1, tp=1)
+    trainer = Trainer(
+        model, optimizer=None,
+        media_id=tok.media_token_id, answer_id=tok.answer_token_id,
+        endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+        mesh=mesh,
+    )
+    abstract = trainer.abstract_params(batch)
+    trainer.optimizer = make_optimizer(
+        abstract, learning_rate=1e-2, trainable_mask=frozen_mask(abstract)
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    before = _flat_paths(jax.device_get(state.params))
+    state, metrics = trainer.train_step(state, batch)
+    after = _flat_paths(jax.device_get(state.params))
+    assert np.isfinite(float(metrics["loss"]))
+
+    emb_key = next(p for p in before if p.endswith("embed/embedding"))
+    used = np.unique(np.asarray(batch["input_ids"]))
+    emb_delta = np.abs(after[emb_key] - before[emb_key]).max(axis=1)
+    assert emb_delta[used].max() > 0, "embedding rows must be trainable"
+
+    frozen_paths = [p for p in before
+                    if p.startswith("resampler") or "xattn_" in p]
+    assert frozen_paths
+    for p in frozen_paths:
+        np.testing.assert_array_equal(before[p], after[p])
+    # and at least one backbone LM kernel moved
+    lm_keys = [p for p in before if "block_" in p and "xattn" not in p
+               and p.endswith("kernel")]
+    assert any(np.abs(after[p] - before[p]).max() > 0 for p in lm_keys)
+
+
+def test_sharded_from_birth_init(setup):
+    """init_state must never materialize an unsharded param/opt tree:
+    optimizer.init is only ever invoked abstractly (tracers), and the
+    born params/moments carry the partition-rule shardings."""
+    import optax
+
+    from unimp_tpu.parallel.sharding import param_sharding
+
+    tok, model, dl = setup
+    batch = next(iter(dl))
+    mesh = make_mesh(dp=2, fsdp=2, tp=2)
+    trainer = Trainer(
+        model, optimizer=None,
+        media_id=tok.media_token_id, answer_id=tok.answer_token_id,
+        endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+        mesh=mesh,
+    )
+    abstract = trainer.abstract_params(batch)
+    base = make_optimizer(abstract, learning_rate=1e-3)
+    concrete_init_calls = []
+
+    def spy_init(p):
+        concrete_init_calls.append(
+            not any(isinstance(l, jax.core.Tracer) for l in jax.tree.leaves(p))
+        )
+        return base.init(p)
+
+    trainer.optimizer = optax.GradientTransformation(spy_init, base.update)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+
+    assert concrete_init_calls, "optimizer.init must run (under jit)"
+    assert not any(concrete_init_calls), \
+        "optimizer.init saw concrete (unsharded) params — eager init leak"
+
+    expected = param_sharding(abstract, mesh)
+    got = jax.tree.map(lambda x: x.sharding, state.params)
+    flat_exp, flat_got = _flat_paths(expected), _flat_paths(got)
+    assert flat_exp == flat_got
+    # Adam moments inherit the parameter shardings (ZeRO-style)
+    for s in jax.tree.leaves(state.opt_state,
+                             is_leaf=lambda x: hasattr(x, "sharding")):
+        assert hasattr(s, "sharding")
+
+
 def test_remat_variant_trains(setup):
     """cfg.remat wraps blocks in jax.checkpoint; grads still flow."""
     import dataclasses

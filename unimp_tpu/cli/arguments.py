@@ -32,6 +32,15 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--mmrec_path", type=str, required=True,
                    help="dataset directory (reference file layout)")
     p.add_argument("--task", type=str, default="rec")
+    p.add_argument("--config_json", type=str, default=None,
+                   help="Otter/Flamingo config.json to build the model "
+                        "from (recommender.py:421-422) instead of "
+                        "--pretrained_model_name_or_path variants")
+    p.add_argument("--img_gen_mode", type=str, default="retrieve",
+                   choices=["retrieve", "pretrain"],
+                   help="img_gen flavor: history-conditioned retrieval "
+                        "(rec_dataset.py:613-720) or single-item pretrain "
+                        "(rec_dataset.py:536-611)")
     p.add_argument("--use_semantic", default=False, action="store_true")
     p.add_argument("--use_reweight", default=False, action="store_true")
     p.add_argument("--subset", type=str, default="all")
@@ -71,6 +80,9 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     if eval_only:
         p.add_argument("--load_weights_name", type=str, default=None)
         p.add_argument("--load_dir", type=str, default=None)
+        p.add_argument("--load_run_name", type=str, default=None,
+                       help="run to load weights from (reference "
+                            "mmrec_prefix.py:612-618); default: run_name")
     # mmrec_prefix transfer flags
     p.add_argument("--transfer_domain", type=str, default=None,
                    help="office | tool (adds item_domain_{i} tokens)")
@@ -83,6 +95,9 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--history_len", type=int, default=None)
     p.add_argument("--mesh_fsdp", type=int, default=1)
     p.add_argument("--mesh_tp", type=int, default=1)
+    p.add_argument("--seq_shard", default=False, action="store_true",
+                   help="sequence-parallel (ring) attention over the fsdp "
+                        "mesh axis for long-context training")
     p.add_argument("--eval_batch_size", type=int, default=8)
     p.add_argument("--max_records", type=int, default=None,
                    help="truncate datasets (smoke runs)")

@@ -48,7 +48,14 @@ def build_tokenizer(args) -> UniMPTokenizer:
 
 
 def build_model(args, tokenizer) -> UniMPModel:
-    cfg = get_config(variant_name(args))
+    if getattr(args, "config_json", None):
+        # Otter-HF path: build from a Flamingo/Otter config.json
+        # (recommender.py:421-422)
+        from unimp_tpu.models.config import config_from_json
+
+        cfg = config_from_json(args.config_json)
+    else:
+        cfg = get_config(variant_name(args))
     overrides = {}
     if args.cross_attn_every_n_layers:
         overrides["cross_attn_every_n"] = args.cross_attn_every_n_layers
@@ -64,14 +71,26 @@ def build_model(args, tokenizer) -> UniMPModel:
 
 
 def build_mesh(args):
-    return make_mesh(dp=None, fsdp=args.mesh_fsdp, tp=args.mesh_tp)
+    mesh = make_mesh(dp=None, fsdp=args.mesh_fsdp, tp=args.mesh_tp)
+    if getattr(args, "seq_shard", False):
+        # route causal self-attention through ring attention, sequence
+        # sharded over the fsdp axis (read at trace time)
+        from unimp_tpu.parallel import set_sequence_sharding
+
+        set_sequence_sharding(mesh, seq_axis="fsdp", batch_axis="dp")
+    return mesh
 
 
 def make_dataset(args, tokenizer, split: str, task=None) -> TaskDataset:
+    task = task if task is not None else args.task
+    # --img_gen_mode pretrain selects the single-item catalog variant
+    # (rec_dataset.py:536-611; the reference toggles it by editing code)
+    if task == "img_gen" and getattr(args, "img_gen_mode", "retrieve") == "pretrain":
+        task = "img_gen_pretrain"
     return TaskDataset(
         args.mmrec_path,
         args.subset,
-        task if task is not None else args.task,
+        task,
         split,
         tokenizer,
         use_semantic=args.use_semantic,

@@ -52,15 +52,26 @@ def train_one_epoch(args, trainer, state, loader, epoch, logger, timer):
     return state
 
 
-def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None):
+def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
+              split="test"):
+    """Evaluate `tasks` on `split` with per-rank dumps.
+
+    Dump naming follows the reference: rec/search per-user metric JSONs
+    (eval_rec.py:158), exp generations under save_gen/ plus an appended
+    results_exp.txt (eval_exp.py:152-175), img_gen token dumps under
+    save_img_gen/ (eval_img_gen.py:141-144) — all rooted in the run dir
+    instead of the CWD.
+    """
     tasks = tasks or ([args.task] if args.single_task else
                       ["rec", "exp", "img_sel", "search"])
+    run_dir = os.path.join(args.external_save_dir or ".", args.run_name)
+    rank = jax.process_index()
     results = {}
     for task in tasks:
         try:
-            ds = common.make_dataset(args, tokenizer, "test", task=task)
+            ds = common.make_dataset(args, tokenizer, split, task=task)
         except FileNotFoundError as e:
-            logger.print(f"[eval] skipping {task}: {e}")
+            logger.print(f"[eval] skipping {task} ({split}): {e}")
             continue
         loader = common.make_loader(args, ds, tokenizer, train=False)
         loader.drop_last = False
@@ -69,14 +80,33 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None):
             kwargs["num_beams"] = args.num_beams
             # per-rank metric dump, reference naming (eval_rec.py:158)
             kwargs["dump_path"] = os.path.join(
-                args.external_save_dir or ".", args.run_name, "results",
-                f"{args.run_name}_{task}_epoch_{epoch}_rank_{jax.process_index()}.json",
+                run_dir, "results",
+                f"{args.run_name}_{task}_{split}_epoch_{epoch}_rank_{rank}.json",
+            )
+        elif task == "exp":
+            kwargs["dump_dir"] = os.path.join(run_dir, "save_gen")
+            kwargs["rank"] = rank
+        elif task == "img_gen":
+            kwargs["dump_path"] = os.path.join(
+                run_dir, "save_img_gen",
+                f"img_gen_{rank}_epoch_{epoch}_name_{args.run_name}.json",
             )
         metrics = EVALUATORS[task](model, params, loader, tokenizer, **kwargs)
         results[task] = metrics
-        logger.log({f"{task}/{k}": v for k, v in metrics.items()
+        if task == "exp" and rank == 0:
+            # reference: append aggregate line to results_exp.txt
+            # (eval_exp.py:168-175)
+            line = " \n".join(
+                f"{k}: {metrics[k]}"
+                for k in ("rmse", "mae", "bleu", "rouge1", "rouge2",
+                          "rougeL", "meteor") if k in metrics
+            )
+            with open(os.path.join(run_dir, "results_exp.txt"), "a+") as f:
+                f.write(line + "\n\n")
+        prefix = task if split == "test" else f"{task}/{split}"
+        logger.log({f"{prefix}/{k}": v for k, v in metrics.items()
                     if isinstance(v, (int, float))}, step=epoch)
-        logger.print(f"[epoch {epoch}] {task}: " + " ".join(
+        logger.print(f"[epoch {epoch}] {task} ({split}): " + " ".join(
             f"{k}={v:.4f}" for k, v in metrics.items()
             if isinstance(v, (int, float))))
     return results
@@ -127,20 +157,12 @@ def main(argv=None):
 
     rng = jax.random.PRNGKey(args.seed)
     sample_batch = next(iter(train_loader))
-    # params first (optimizer mask needs the tree), then sharded state
-    import jax.numpy as jnp
-
-    from unimp_tpu.data.transforms import normalize_on_device
-    from unimp_tpu.models import compute_q_media
-
-    ids = jnp.asarray(sample_batch["input_ids"])
-    params = model.init(
-        rng, ids,
-        vision_x=normalize_on_device(jnp.asarray(sample_batch["images"])),
-        q_media=compute_q_media(ids, tokenizer.media_token_id),
-    )["params"]
+    # The optimizer's decay mask only needs the param tree *structure*
+    # (paths + ndim) — derive it abstractly so no unsharded param tree is
+    # ever materialized; init_state then creates params sharded-from-birth.
+    abstract_params = trainer.abstract_params(sample_batch)
     trainer.optimizer = make_optimizer(
-        params,
+        abstract_params,
         learning_rate=args.learning_rate,
         lr_scheduler=args.lr_scheduler,
         total_steps=total_steps,
@@ -154,7 +176,6 @@ def main(argv=None):
             trainer.optimizer, args.gradient_accumulation_steps
         )
     state = trainer.init_state(rng, sample_batch)
-    del params
 
     if args.load_from_original_checkpoint:
         from unimp_tpu.tools.convert_torch import load_torch_checkpoint
@@ -188,8 +209,14 @@ def main(argv=None):
             state = train_one_epoch(
                 args, trainer, state, train_loader, epoch, logger, timer
             )
-        if args.do_eval or args.do_test:
-            run_evals(args, model, state.params, tokenizer, logger, epoch)
+        # reference: separate eval-split and test-split passes per epoch
+        # (mmrec.py:606-608, 775-871)
+        if args.do_eval:
+            run_evals(args, model, state.params, tokenizer, logger, epoch,
+                      split="eval")
+        if args.do_test:
+            run_evals(args, model, state.params, tokenizer, logger, epoch,
+                      split="test")
         if rank == 0:
             ckpt.save_epoch(save_dir, state.params, epoch)
             ckpt.save_train_state(save_dir, state, epoch)

@@ -51,7 +51,7 @@ def main(argv=None):
 
     if args.load_weights_name:
         load_dir = args.load_dir or os.path.join(
-            args.external_save_dir or ".", args.run_name
+            args.external_save_dir or ".", args.load_run_name or args.run_name
         )
         if args.load_weights_name.endswith(".pt"):
             from unimp_tpu.tools.convert_torch import load_torch_checkpoint
@@ -75,8 +75,13 @@ def main(argv=None):
                           wandb_project=args.wandb_project,
                           wandb_entity=args.wandb_entity, config=vars(args))
     tasks = [args.task] if args.single_task else None
-    results = run_evals(args, model, params, tokenizer, logger, epoch=0,
-                        tasks=tasks)
+    results = {}
+    if args.do_eval:
+        results["eval"] = run_evals(args, model, params, tokenizer, logger,
+                                    epoch=0, tasks=tasks, split="eval")
+    if args.do_test or not args.do_eval:
+        results.update(run_evals(args, model, params, tokenizer, logger,
+                                 epoch=0, tasks=tasks, split="test"))
     if rank == 0:
         out = os.path.join(save_dir, "eval_results.json")
         with open(out, "w") as f:

@@ -26,19 +26,24 @@ from unimp_tpu.utils import MetricLogger, StepTimer
 
 
 def frozen_mask(params):
-    """True = trainable. Freezes resampler, gated-xattn blocks and the
-    embedding table (mmrec_prefix.py freeze list)."""
+    """True = trainable. Freezes the perceiver resampler and the gated
+    cross-attention blocks (mmrec_prefix.py:631-632).
+
+    The reference also calls ``requires_grad_(False)`` on the input
+    embeddings (mmrec_prefix.py:633) but then immediately
+    ``resize_token_embeddings(len(tokenizer))`` (mmrec_prefix.py:647-654),
+    which replaces the embedding module with a fresh — trainable — one.
+    The *effective* reference behavior is therefore a trainable (resized)
+    embedding table; freezing it here would leave the new
+    ``item_domain_{i}`` rows at random init forever (and, for
+    tied-embedding variants, freeze the LM head too)."""
     import jax.tree_util as jtu
 
     flat, treedef = jtu.tree_flatten_with_path(params)
     out = []
     for kp, _ in flat:
         path = "/".join(p.key if hasattr(p, "key") else str(p) for p in kp)
-        frozen = (
-            path.startswith("resampler")
-            or "xattn_" in path
-            or path.startswith("embed/")
-        )
+        frozen = path.startswith("resampler") or "xattn_" in path
         out.append(not frozen)
     return jtu.tree_unflatten(treedef, out)
 
@@ -61,17 +66,9 @@ def main(argv=None):
     train_loader = common.make_loader(args, train_ds, tokenizer, train=True)
     sample_batch = next(iter(train_loader))
 
-    from unimp_tpu.cli.mmrec_eval import init_params
-
-    params = init_params(args, model, tokenizer, sample_batch)
     load_dir = args.load_dir or os.path.join(
-        args.external_save_dir or ".", args.run_name
+        args.external_save_dir or ".", args.load_run_name or args.run_name
     )
-    if args.load_weights_name:
-        # vocabulary grew (item_domain_{i} tokens) — restore raw and graft
-        restored = ckpt.restore_params(load_dir, args.load_weights_name)
-        params = ckpt.merge_with_growth(restored, params)
-
     save_dir = os.path.join(args.external_save_dir or ".",
                             f"{args.run_name}_{args.transfer_domain}")
     logger = MetricLogger(save_dir, args.run_name, rank=rank,
@@ -80,6 +77,12 @@ def main(argv=None):
                           wandb_entity=args.wandb_entity, config=vars(args))
 
     if args.only_test:
+        from unimp_tpu.cli.mmrec_eval import init_params
+
+        params = init_params(args, model, tokenizer, sample_batch)
+        if args.load_weights_name:
+            restored = ckpt.restore_params(load_dir, args.load_weights_name)
+            params = ckpt.merge_with_growth(restored, params)
         return run_evals(args, model, params, tokenizer, logger, epoch=0,
                          tasks=[args.task])
 
@@ -91,15 +94,7 @@ def main(argv=None):
     )
     trainer = Trainer(
         model,
-        optimizer=make_optimizer(
-            params,
-            learning_rate=args.learning_rate,
-            lr_scheduler=args.lr_scheduler,
-            total_steps=total_steps,
-            warmup_steps=warmup,
-            weight_decay=args.weight_decay,
-            trainable_mask=frozen_mask(params),
-        ),
+        optimizer=None,
         media_id=tokenizer.media_token_id,
         answer_id=tokenizer.answer_token_id,
         endofchunk_id=tokenizer.endofchunk_token_id,
@@ -108,18 +103,39 @@ def main(argv=None):
         use_reweight=args.use_reweight,
         mesh=mesh,
     )
+    # Freeze/decay masks need only the tree structure — derive abstractly
+    # so params are born sharded in init_state (no unsharded full tree).
+    abstract_params = trainer.abstract_params(sample_batch)
+    trainer.optimizer = make_optimizer(
+        abstract_params,
+        learning_rate=args.learning_rate,
+        lr_scheduler=args.lr_scheduler,
+        total_steps=total_steps,
+        warmup_steps=warmup,
+        weight_decay=args.weight_decay,
+        trainable_mask=frozen_mask(abstract_params),
+    )
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample_batch)
-    state = state.replace(params=jax.device_put(
-        params, jax.tree.map(lambda x: x.sharding, state.params)))
+    if args.load_weights_name:
+        # vocabulary grew (item_domain_{i} tokens) — restore raw, graft the
+        # overlap onto the fresh sharded init, re-place with the same
+        # shardings (host-side merge; device copies stay sharded).
+        restored = ckpt.restore_params(load_dir, args.load_weights_name)
+        merged = ckpt.merge_with_growth(restored, state.params)
+        state = state.replace(params=jax.device_put(
+            merged, jax.tree.map(lambda x: x.sharding, state.params)))
 
     timer = StepTimer()
     for epoch in range(args.num_epochs):
         state = train_one_epoch(
             args, trainer, state, train_loader, epoch, logger, timer
         )
-        if args.do_eval or args.do_test:
+        if args.do_eval:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      tasks=[args.task])
+                      tasks=[args.task], split="eval")
+        if args.do_test:
+            run_evals(args, model, state.params, tokenizer, logger, epoch,
+                      tasks=[args.task], split="test")
         if rank == 0:
             ckpt.save_epoch(save_dir, state.params, epoch)
     if rank == 0:

@@ -126,6 +126,10 @@ class TaskDataset:
             # retrieval sequences; list not dict (rec_dataset.py:169-176)
             with open(self._path(f"search_merge_{split}.txt")) as f:
                 return json.load(f)
+        if task == "img_gen_pretrain":
+            # catalog items (rec_dataset.py:174-178 pretrain branch:
+            # data = meta json, keys iterated)
+            return list(self.builder.meta_data.keys())
         raise KeyError(f"unsupported task {task!r}")
 
     def _load_single(self, task: str):

@@ -101,11 +101,23 @@ class DataLoader:
         stop = threading.Event()
 
         def producer():
+            # Bounded submission window: at most num_workers + prefetch
+            # batches in flight — a full epoch is never enqueued up front
+            # (the multi-task Amazon epoch is ~23k batches; one future
+            # each would pin hundreds of MB of built batches).
+            from collections import deque
+
+            window = self.num_workers + self.prefetch
             with ThreadPoolExecutor(self.num_workers) as pool:
-                futures = [
-                    pool.submit(self._make_batch, bi) for bi in self._batches()
-                ]
-                for f in futures:
+                inflight: "deque" = deque()
+                gen = self._batches()
+                try:
+                    for _ in range(window):
+                        inflight.append(pool.submit(self._make_batch, next(gen)))
+                except StopIteration:
+                    gen = None
+                while inflight:
+                    f = inflight.popleft()
                     if stop.is_set():
                         f.cancel()
                         continue
@@ -114,6 +126,13 @@ class DataLoader:
                     except Exception as e:  # propagate to consumer
                         q.put(e)
                         return
+                    if gen is not None and not stop.is_set():
+                        try:
+                            inflight.append(
+                                pool.submit(self._make_batch, next(gen))
+                            )
+                        except StopIteration:
+                            gen = None
             q.put(None)
 
         t = threading.Thread(target=producer, daemon=True)

@@ -273,6 +273,32 @@ class PromptBuilder:
         )
         return Sample(text, imgs, target=img_id, extra={"item": item})
 
+    # ------------- img_gen (pretrain variant) -------------
+    # rec_dataset.py:536-571 (train) / :573-611 (eval): single-item
+    # query->image-ID pairs over the catalog. Quirks kept verbatim: the
+    # train prompt says "image ID", the eval prompt "Image ID"; neither
+    # contains an <image> marker (the reference loads the item's image
+    # but the prompt never references it), and the semantic image IDs
+    # are SPACE-joined (the retrieve variant comma-joins).
+
+    def train_img_gen_pretrain(self, item, rng: np.random.Generator) -> Sample:
+        img_id = " ".join(f"img_{i}" for i in self.img_id2semantic[str(item)])
+        query = _truncate_words(self.meta_data[str(item)]["title"], 30)
+        text = (
+            f"Query: {query}. What is the generated image ID to the query? "
+            f"<answer> {img_id}"
+        )
+        return Sample(text, [item], weight=1.0)
+
+    def eval_img_gen_pretrain(self, item) -> Sample:
+        img_id = " ".join(f"img_{i}" for i in self.img_id2semantic[str(item)])
+        query = _truncate_words(self.meta_data[str(item)]["title"], 30)
+        text = (
+            f"Query: {query}. What is the generated Image ID to the query? "
+            "<answer>"
+        )
+        return Sample(text, [item], target=img_id, extra={"item": item})
+
     # ------------- dispatch -------------
 
     def build(self, task: str, split: str, record, rng: np.random.Generator) -> Sample:
@@ -287,4 +313,7 @@ class PromptBuilder:
             return self.train_exp(record, rng) if train else self.eval_exp(record)
         if task == "img_gen":
             return self.train_img_gen(record, rng) if train else self.eval_img_gen(record)
+        if task == "img_gen_pretrain":
+            return (self.train_img_gen_pretrain(record, rng) if train
+                    else self.eval_img_gen_pretrain(record))
         raise KeyError(f"unsupported task {task!r}")

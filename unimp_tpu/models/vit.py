@@ -75,7 +75,11 @@ class VisionTower(nn.Module):
         x = nn.LayerNorm(epsilon=cfg.layernorm_eps, dtype=self.dtype, name="pre_ln")(x)
         for i in range(cfg.num_layers):
             x = ViTBlock(cfg, dtype=self.dtype, name=f"block_{i}")(x)
-        x = nn.LayerNorm(epsilon=cfg.layernorm_eps, dtype=self.dtype, name="post_ln")(x)
-        # Flamingo consumes patch tokens only (drop CLS), matching
-        # open_flamingo's `vision_encoder(...)[0][:, 1:]` slice.
+        # Reference parity (clip.py:469-471): post_layernorm is applied to
+        # the pooled CLS token ONLY — the last_hidden_state that Flamingo
+        # consumes (`vision_encoder(...)[0][:, 1:]`) is NOT post-normed.
+        # The norm still runs on the (discarded) CLS slice so its params
+        # exist for checkpoint conversion.
+        nn.LayerNorm(epsilon=cfg.layernorm_eps, dtype=self.dtype,
+                     name="post_ln")(x[:, :1])
         return x[:, 1:]

@@ -58,8 +58,33 @@ def multi_head_attention(
     should pass ``kv_len``; ``mask.kv_valid`` exists for the reference
     implementation and for tests.
     """
-    impl = _resolve_impl(impl, k.shape[1])
     mask = mask or AttnMask()
+    # Sequence-parallel routing: with an active context, causal
+    # self-attention (same q/kv length, no media masks, no ALiBi, no
+    # left-alignment window) runs as ring attention over the mesh.
+    from unimp_tpu.parallel.seq_shard import get_sequence_sharding
+
+    ctx = get_sequence_sharding()
+    if (
+        ctx is not None
+        and mask.causal
+        and mask.q_media is None
+        and mask.kv_valid is None
+        and alibi is None
+        and kv_start is None
+        and q.shape[1] == k.shape[1]
+        and q.shape[2] == k.shape[2]  # no GQA in the ring path (yet)
+        and q.shape[1] > 1
+    ):
+        from unimp_tpu.ops.ring_attention import ring_attention_sharded
+
+        return ring_attention_sharded(
+            q, k, v, ctx.mesh, seq_axis=ctx.seq_axis,
+            batch_axis=ctx.batch_axis, causal=True, kv_len=kv_len,
+            scale=scale,
+        )
+
+    impl = _resolve_impl(impl, k.shape[1])
     if impl == "xla":
         if (kv_len is not None or kv_start is not None) and mask.kv_valid is None:
             skv = k.shape[1]

@@ -30,16 +30,20 @@ import jax.numpy as jnp
 NEG_INF = -1e30
 
 
-def _block_attn(q, k, v, scale, q_off, kv_off, causal):
+def _block_attn(q, k, v, scale, q_off, kv_off, causal, kv_len):
     """Local attention partials: returns (out_unnorm f32, m, l)."""
     sq, skv = q.shape[1], k.shape[1]
     logits = jnp.einsum(
         "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
     ) * scale
+    ki = kv_off + jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
     if causal:
         qi = q_off + jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 0)
-        ki = kv_off + jax.lax.broadcasted_iota(jnp.int32, (sq, skv), 1)
         logits = jnp.where((ki <= qi)[None, None], logits, NEG_INF)
+    if kv_len is not None:
+        # right-padding: only global KV positions < kv_len[b] are valid
+        valid = ki[None] < kv_len[:, None, None]  # [B, Sq, Skv]
+        logits = jnp.where(valid[:, None], logits, NEG_INF)
     m = jnp.max(logits, axis=-1)  # [B, H, Sq]
     p = jnp.exp(logits - m[..., None])
     p = jnp.where(m[..., None] <= NEG_INF / 2, 0.0, p)
@@ -55,6 +59,7 @@ def ring_attention(
     q: jax.Array,
     k: jax.Array,
     v: jax.Array,
+    kv_len: Optional[jax.Array] = None,
     *,
     axis_name: str,
     causal: bool = False,
@@ -65,7 +70,8 @@ def ring_attention(
     Must run inside shard_map/pmap with `axis_name` bound to the
     sequence-parallel mesh axis. Shards are assumed to be contiguous
     sequence chunks in axis order (device i holds tokens
-    [i*S/N, (i+1)*S/N)).
+    [i*S/N, (i+1)*S/N)). ``kv_len`` [B] bounds the valid (right-padded)
+    global KV prefix, matching the flash kernel's semantics.
     """
     n = jax.lax.psum(1, axis_name)
     idx = jax.lax.axis_index(axis_name)
@@ -79,7 +85,8 @@ def ring_attention(
         # the K/V chunk currently held arrived from device (idx - step)
         src = (idx - step) % n
         kv_off = src * sq
-        o_p, m_p, l_p = _block_attn(q, kc, vc, scale, q_off, kv_off, causal)
+        o_p, m_p, l_p = _block_attn(q, kc, vc, scale, q_off, kv_off, causal,
+                                    kv_len)
         m_new = jnp.maximum(m, m_p)
         a_old = jnp.exp(m - m_new)
         a_new = jnp.exp(m_p - m_new)
@@ -117,17 +124,31 @@ def ring_attention_sharded(
     seq_axis: str = "fsdp",
     batch_axis: str = "dp",
     causal: bool = False,
+    kv_len: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
 ) -> jax.Array:
     """Convenience wrapper: global [B, S, H, D] arrays -> shard_map over
-    (batch_axis x seq_axis) -> global result."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
+    (batch_axis x seq_axis) -> global result. Composable under jit: the
+    caller's activations are resharded to (batch, sequence) blocks on
+    entry and back on exit by XLA."""
+    from jax.sharding import PartitionSpec as P
     from jax import shard_map
 
     spec = P(batch_axis, seq_axis, None, None)
+    if kv_len is None:
+        fn = shard_map(
+            partial(ring_attention, axis_name=seq_axis, causal=causal,
+                    scale=scale),
+            mesh=mesh,
+            in_specs=(spec, spec, spec),
+            out_specs=spec,
+        )
+        return fn(q, k, v)
     fn = shard_map(
-        partial(ring_attention, axis_name=seq_axis, causal=causal),
+        partial(ring_attention, axis_name=seq_axis, causal=causal,
+                scale=scale),
         mesh=mesh,
-        in_specs=(spec, spec, spec),
+        in_specs=(spec, spec, spec, P(batch_axis)),
         out_specs=spec,
     )
-    return fn(q, k, v)
+    return fn(q, k, v, kv_len)

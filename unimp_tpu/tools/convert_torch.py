@@ -128,6 +128,25 @@ _RENAME_RULES: List[Tuple[str, str]] = [
      r"block_\1/mlp/up/\2"),
     (r"lang_encoder\.gpt_neox\.layers\.(\d+)\.mlp\.dense_4h_to_h\.(weight|bias)",
      r"block_\1/mlp/down/\2"),
+    # ---- LLaMA decoder (xformers_model/llama.py:495-767; separate
+    # q/k/v projections — llama.py:212-228 — no fused tensor) ----
+    (r"lang_encoder\.model\.embed_tokens\.weight", r"embed/embedding"),
+    (r"lang_encoder\.lm_head\.weight", r"lm_head/kernel"),
+    (r"lang_encoder\.model\.norm\.weight", r"final_ln/weight"),
+    (r"lang_encoder\.model\.layers\.(\d+)\.input_layernorm\.weight",
+     r"block_\1/ln1/weight"),
+    (r"lang_encoder\.model\.layers\.(\d+)\.post_attention_layernorm\.weight",
+     r"block_\1/ln2/weight"),
+    (r"lang_encoder\.model\.layers\.(\d+)\.self_attn\.([qkv])_proj\.weight",
+     r"block_\1/attn/\2_proj/kernel"),
+    (r"lang_encoder\.model\.layers\.(\d+)\.self_attn\.o_proj\.weight",
+     r"block_\1/attn/o_proj/kernel"),
+    (r"lang_encoder\.model\.layers\.(\d+)\.mlp\.gate_proj\.weight",
+     r"block_\1/mlp/gate/kernel"),
+    (r"lang_encoder\.model\.layers\.(\d+)\.mlp\.up_proj\.weight",
+     r"block_\1/mlp/up/kernel"),
+    (r"lang_encoder\.model\.layers\.(\d+)\.mlp\.down_proj\.weight",
+     r"block_\1/mlp/down/kernel"),
     # ---- MPT decoder ----
     (r"lang_encoder\.transformer\.wte\.weight", r"embed/embedding"),
     (r"lang_encoder\.transformer\.norm_f\.(weight|bias)", r"final_ln/\1"),
@@ -142,6 +161,23 @@ _RENAME_RULES: List[Tuple[str, str]] = [
     (r"lang_encoder\.transformer\.blocks\.(\d+)\.ffn\.down_proj\.(weight|bias)",
      r"block_\1/mlp/down/\2"),
 ]
+
+# Non-parameter buffers present in torch state dicts but recomputed here
+# (RoPE caches, causal-mask bias buffers, position-id aranges). They carry
+# no learned state, so they are deliberately skipped — not "missed".
+
+_SKIP_RULES: List[str] = [
+    r".*rotary_emb\.inv_freq$",
+    r".*rotary_emb\.(cos|sin)_cached$",
+    r".*embeddings\.position_ids$",
+    r".*attention\.(bias|masked_bias)$",  # NeoX causal-mask buffers
+    r".*attn\.(bias|masked_bias)$",
+]
+
+
+def is_skipped_buffer(name: str) -> bool:
+    return any(re.fullmatch(p, name) for p in _SKIP_RULES)
+
 
 # fused tensors: regex -> (list of our paths, splitter(value, targets))
 # where splitter returns one array per path.
@@ -231,7 +267,7 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], target_params):
     """Map a torch state dict onto target_params; returns (params, report)."""
     target_flat = _flatten(target_params)
     out = dict(target_flat)
-    matched, missed = [], []
+    matched, missed, skipped = [], [], []
 
     def place(path: str, val: np.ndarray, origin: str):
         resolved = _resolve(path, target_flat)
@@ -249,6 +285,10 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], target_params):
 
     for name, val in state_dict.items():
         val = np.asarray(val)
+        # 0) non-parameter buffers (RoPE caches, mask bias): recomputed here
+        if is_skipped_buffer(name):
+            skipped.append(name)
+            continue
         # 1) fused tensors
         fused = False
         for pat, templates, splitter in _FUSED_RULES:
@@ -291,7 +331,7 @@ def convert_state_dict(state_dict: Dict[str, np.ndarray], target_params):
             path = name.replace(".", "/")
         place(path, val, name)
 
-    report = {"matched": matched, "missed": missed}
+    report = {"matched": matched, "missed": missed, "skipped": skipped}
     return _unflatten(out), report
 
 

@@ -79,11 +79,16 @@ def make_optimizer(
         optax.scale_by_learning_rate(schedule),
     )
     if trainable_mask is not None:
-        # Freeze: zero updates for non-trainable params (mmrec_prefix's
-        # requires_grad_(False) equivalent).
+        # Freeze: requires_grad_(False) equivalent (mmrec_prefix.py:631-632).
+        # Zero incoming grads (so clipping/moments see nothing) AND zero the
+        # outgoing updates — weight decay acts on params directly, so a
+        # leading zero alone would still let add_decayed_weights move
+        # frozen gated-xattn kernels.
+        frozen = jax.tree.map(lambda t: not t, trainable_mask)
         tx = optax.chain(
-            optax.masked(optax.set_to_zero(), jax.tree.map(lambda t: not t, trainable_mask)),
+            optax.masked(optax.set_to_zero(), frozen),
             tx,
+            optax.masked(optax.set_to_zero(), frozen),
         )
     return tx
 
