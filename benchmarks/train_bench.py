@@ -42,6 +42,10 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "0"))  # 0 = variant's
     remat = os.environ.get("BENCH_REMAT", "") == "1"
+    # reference protocol: vision tower + LM backbone frozen (open_flamingo
+    # factory); BENCH_UNFREEZE=1 measures the full-model train step
+    unfreeze = os.environ.get("BENCH_UNFREEZE", "") == "1"
+    frozen_bf16 = os.environ.get("BENCH_FROZEN_BF16", "1") == "1"
 
     with tempfile.TemporaryDirectory() as d:
         synth_data.generate(d, n_items=128, n_users=64,
@@ -59,10 +63,14 @@ def main():
         dl = DataLoader(ds, batch_size=batch, pad_id=tok.pad_token_id,
                         num_workers=4, pad_to_multiple=128, fixed_media=5)
         mesh = make_mesh() if len(jax.devices()) > 1 else None
+        from unimp_tpu.train.partition import backbone_trainable_mask
+
         trainer = Trainer(
             model, optimizer=None, media_id=tok.media_token_id,
             answer_id=tok.answer_token_id, endofchunk_id=tok.endofchunk_token_id,
             pad_id=tok.pad_token_id, use_reweight=True, mesh=mesh,
+            trainable_mask=None if unfreeze else backbone_trainable_mask,
+            frozen_dtype="bfloat16" if (frozen_bf16 and not unfreeze) else None,
         )
         rng = jax.random.PRNGKey(0)
         sample = next(iter(dl))
@@ -71,7 +79,9 @@ def main():
         # once inside init_state (sharded-from-birth when mesh is set)
         abstract = trainer.abstract_params(sample)
         n_params = sum(x.size for x in jax.tree.leaves(abstract))
-        trainer.optimizer = make_optimizer(abstract, learning_rate=1e-4)
+        t_abs = trainer.trainable_abstract(sample)
+        n_trainable = sum(x.size for x in jax.tree.leaves(t_abs))
+        trainer.optimizer = make_optimizer(t_abs, learning_rate=1e-4)
         state = trainer.init_state(rng, sample)
 
         # warmup/compile (float() materializes; block_until_ready is not
@@ -95,7 +105,8 @@ def main():
     from unimp_tpu.utils.flops import detect_peak_flops, train_step_flops
 
     step_flops = train_step_flops(cfg, batch, int(ids.shape[1]),
-                                  images_per_sample=5)
+                                  images_per_sample=5,
+                                  frozen_backbone=not unfreeze)
     peak = detect_peak_flops()
     flops_per_sec = step_flops * steps / dt
     print(json.dumps({
@@ -103,6 +114,8 @@ def main():
         "value": round(done / dt, 3),
         "unit": "samples/sec",
         "params": n_params,
+        "trainable_params": n_trainable,
+        "frozen_backbone": not unfreeze,
         "seq_len": int(ids.shape[1]),
         "image_size": cfg.vision.image_size,
         "loss": float(m["loss"]),

@@ -159,13 +159,16 @@ def test_transfer_step_trains_embeddings_freezes_backbone(setup):
         model, optimizer=None,
         media_id=tok.media_token_id, answer_id=tok.answer_token_id,
         endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
-        mesh=mesh,
+        mesh=mesh, trainable_mask=frozen_mask,
     )
-    abstract = trainer.abstract_params(batch)
     trainer.optimizer = make_optimizer(
-        abstract, learning_rate=1e-2, trainable_mask=frozen_mask(abstract)
+        trainer.trainable_abstract(batch), learning_rate=1e-2
     )
     state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    # no Adam moments exist for frozen leaves (None in the opt tree)
+    opt_leaf_count = len(jax.tree.leaves(state.opt_state))
+    full_leaf_count = len(jax.tree.leaves(state.params))
+    assert opt_leaf_count < 2 * full_leaf_count
     before = _flat_paths(jax.device_get(state.params))
     state, metrics = trainer.train_step(state, batch)
     after = _flat_paths(jax.device_get(state.params))
@@ -185,6 +188,58 @@ def test_transfer_step_trains_embeddings_freezes_backbone(setup):
     lm_keys = [p for p in before if "block_" in p and "xattn" not in p
                and p.endswith("kernel")]
     assert any(np.abs(after[p] - before[p]).max() > 0 for p in lm_keys)
+
+
+def test_backbone_freeze_reference_trainability(setup):
+    """Main-path trainability (open_flamingo factory + resize,
+    mmrec.py:595): perceiver + gated xattn + embeddings train; the
+    vision tower and LM backbone blocks stay frozen, get no Adam
+    moments, and (frozen_dtype) can be stored in bf16."""
+    from unimp_tpu.train.partition import backbone_trainable_mask
+
+    tok, model, dl = setup
+    batch = next(iter(dl))
+    trainer = Trainer(
+        model, optimizer=None,
+        media_id=tok.media_token_id, answer_id=tok.answer_token_id,
+        endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+        trainable_mask=backbone_trainable_mask, frozen_dtype="bfloat16",
+    )
+    trainer.optimizer = make_optimizer(
+        trainer.trainable_abstract(batch), learning_rate=1e-2
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    before = _flat_paths(jax.device_get(state.params))
+    # gates are zero-init (Flamingo), so resampler/xattn-projection grads
+    # are zero at step 1 — run a few steps so gradient reaches them
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+    after = _flat_paths(jax.device_get(state.params))
+    assert np.isfinite(float(metrics["loss"]))
+
+    for p, v in after.items():
+        top = p.split("/", 1)[0]
+        frozen = top.startswith(("vision", "block_", "final_ln"))
+        if frozen:
+            np.testing.assert_array_equal(before[p], v)
+            assert v.dtype == jnp.bfloat16, p  # frozen storage dtype
+        else:
+            assert v.dtype == np.float32, p  # trainable master weights
+    moved = [p for p, v in after.items()
+             if np.abs(np.asarray(v, np.float32)
+                       - np.asarray(before[p], np.float32)).max() > 0]
+    assert any(p.startswith("resampler") for p in moved)
+    assert any("xattn_" in p for p in moved)
+    assert any(p.startswith("embed") for p in moved)
+
+    # the compiled backward must not touch vision-tower weight gradients:
+    # trainable-subtree grad leaves exclude every vision/block path
+    t_abs = trainer.trainable_abstract(batch)
+    from jax.tree_util import tree_flatten_with_path
+
+    flat, _ = tree_flatten_with_path(t_abs)
+    paths = ["/".join(pp.key for pp in kp) for kp, _ in flat]
+    assert paths and not any(p.startswith(("vision", "block_")) for p in paths)
 
 
 def test_sharded_from_birth_init(setup):

@@ -60,6 +60,14 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--train_num_samples", type=int, default=None)
     p.add_argument("--mask_lm_head", action="store_true")
+    p.add_argument("--unfreeze_backbone", default=False, action="store_true",
+                   help="train the vision tower and LM backbone too "
+                        "(the reference freezes both: open_flamingo "
+                        "factory + mmrec.py:595 resize — only perceiver, "
+                        "gated xattn and embeddings/lm head train)")
+    p.add_argument("--frozen_bf16", default=False, action="store_true",
+                   help="store frozen params in bfloat16 (lossless when "
+                        "compute dtype is bf16; halves their HBM use)")
     p.add_argument("--save_hf_model", default=False, action="store_true",
                    help="also export final weights as a torch .pt with "
                         "reference (OpenFlamingo) tensor names")

@@ -142,6 +142,11 @@ def main(argv=None):
     )
     logger.print(f"Total training steps: {total_steps}")
 
+    # Reference trainability (open_flamingo factory + resize at
+    # mmrec.py:595): only perceiver + gated xattn + embeddings/lm head
+    # train; the vision tower and LM backbone are frozen.
+    from unimp_tpu.train.partition import backbone_trainable_mask
+
     trainer = Trainer(
         model,
         optimizer=None,
@@ -153,6 +158,9 @@ def main(argv=None):
         use_reweight=args.use_reweight,
         mask_lm_head=args.mask_lm_head,
         mesh=mesh,
+        trainable_mask=(None if args.unfreeze_backbone
+                        else backbone_trainable_mask),
+        frozen_dtype=("bfloat16" if args.frozen_bf16 else None),
     )
 
     rng = jax.random.PRNGKey(args.seed)
@@ -160,9 +168,8 @@ def main(argv=None):
     # The optimizer's decay mask only needs the param tree *structure*
     # (paths + ndim) — derive it abstractly so no unsharded param tree is
     # ever materialized; init_state then creates params sharded-from-birth.
-    abstract_params = trainer.abstract_params(sample_batch)
     trainer.optimizer = make_optimizer(
-        abstract_params,
+        trainer.trainable_abstract(sample_batch),
         learning_rate=args.learning_rate,
         lr_scheduler=args.lr_scheduler,
         total_steps=total_steps,

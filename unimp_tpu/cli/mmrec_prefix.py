@@ -4,8 +4,9 @@ Mirrors /root/reference/UniMP/mmrec_prefix.py: load a multi-task
 checkpoint, extend the vocabulary with ``item_domain_{i}`` tokens
 (office=1574, tool=6885), FREEZE the perceiver resampler, the gated
 cross-attention blocks and the token embeddings, and fine-tune the rest
-on the new domain. Freezing is an optax trainability mask
-(zeroed updates) instead of requires_grad_(False); ``--only_test``
+on the new domain. Freezing is a trainable-subtree partition (see
+train/partition.py) instead of requires_grad_(False) — frozen params get
+no gradients, no Adam moments, and no weight decay; ``--only_test``
 short-circuits to evaluation.
 """
 
@@ -37,15 +38,12 @@ def frozen_mask(params):
     embedding table; freezing it here would leave the new
     ``item_domain_{i}`` rows at random init forever (and, for
     tied-embedding variants, freeze the LM head too)."""
-    import jax.tree_util as jtu
+    from unimp_tpu.train.partition import path_mask
 
-    flat, treedef = jtu.tree_flatten_with_path(params)
-    out = []
-    for kp, _ in flat:
-        path = "/".join(p.key if hasattr(p, "key") else str(p) for p in kp)
-        frozen = path.startswith("resampler") or "xattn_" in path
-        out.append(not frozen)
-    return jtu.tree_unflatten(treedef, out)
+    return path_mask(
+        params,
+        lambda path, _: not (path.startswith("resampler") or "xattn_" in path),
+    )
 
 
 def main(argv=None):
@@ -102,18 +100,18 @@ def main(argv=None):
         gamma=args.gamma,
         use_reweight=args.use_reweight,
         mesh=mesh,
+        trainable_mask=frozen_mask,
     )
     # Freeze/decay masks need only the tree structure — derive abstractly
-    # so params are born sharded in init_state (no unsharded full tree).
-    abstract_params = trainer.abstract_params(sample_batch)
+    # so params are born sharded in init_state (no unsharded full tree);
+    # the optimizer is built over the trainable subtree only.
     trainer.optimizer = make_optimizer(
-        abstract_params,
+        trainer.trainable_abstract(sample_batch),
         learning_rate=args.learning_rate,
         lr_scheduler=args.lr_scheduler,
         total_steps=total_steps,
         warmup_steps=warmup,
         weight_decay=args.weight_decay,
-        trainable_mask=frozen_mask(abstract_params),
     )
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample_batch)
     if args.load_weights_name:

@@ -66,31 +66,21 @@ def make_optimizer(
     warmup_steps: int = 0,
     weight_decay: float = 0.1,
     max_grad_norm: float = 1.0,
-    trainable_mask=None,
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
 ) -> optax.GradientTransformation:
+    """Build the reference AdamW over `params` — pass the TRAINABLE
+    subtree (None leaves where frozen, see train/partition.py) to get a
+    requires_grad_(False)-equivalent optimizer: moments, decay and
+    clipping then exist only for trainable leaves."""
     schedule = make_schedule(lr_scheduler, learning_rate, total_steps, warmup_steps)
-    tx = optax.chain(
+    return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
         optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
         optax.add_decayed_weights(weight_decay, mask=decay_mask(params)),
         optax.scale_by_learning_rate(schedule),
     )
-    if trainable_mask is not None:
-        # Freeze: requires_grad_(False) equivalent (mmrec_prefix.py:631-632).
-        # Zero incoming grads (so clipping/moments see nothing) AND zero the
-        # outgoing updates — weight decay acts on params directly, so a
-        # leading zero alone would still let add_decayed_weights move
-        # frozen gated-xattn kernels.
-        frozen = jax.tree.map(lambda t: not t, trainable_mask)
-        tx = optax.chain(
-            optax.masked(optax.set_to_zero(), frozen),
-            tx,
-            optax.masked(optax.set_to_zero(), frozen),
-        )
-    return tx
 
 
 def embedding_row_mask_update(grads, params, answer_token_id: int):

@@ -26,6 +26,7 @@ from unimp_tpu.models.flamingo import compute_q_media
 from unimp_tpu.parallel.sharding import batch_sharding, param_sharding
 from unimp_tpu.train.loss import masked_focal_loss
 from unimp_tpu.train.optimizer import embedding_row_mask_update
+from unimp_tpu.train.partition import cast_tree, merge_params, partition_params
 
 
 @struct.dataclass
@@ -52,6 +53,8 @@ class Trainer:
         mask_lm_head: bool = False,
         mesh=None,
         skip_nonfinite_updates: bool = True,
+        trainable_mask=None,
+        frozen_dtype=None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -63,7 +66,32 @@ class Trainer:
         self.use_reweight = use_reweight
         self.mask_lm_head = mask_lm_head
         self.skip_nonfinite_updates = skip_nonfinite_updates
+        # trainable_mask: bool pytree (True = trainable) or a callable on
+        # the abstract param tree returning one. When set, gradients are
+        # taken w.r.t. the trainable subtree ONLY — XLA never emits dW for
+        # frozen kernels (the vision-tower backward disappears entirely
+        # when the tower is frozen, matching the reference's
+        # requires_grad_(False), open_flamingo factory / mmrec_prefix.py:631)
+        # — and the optimizer state exists only for trainable leaves.
+        # frozen_dtype (e.g. jnp.bfloat16): storage dtype for frozen
+        # params; lossless when it equals the compute dtype.
+        self.trainable_mask = trainable_mask
+        self.frozen_dtype = frozen_dtype
         self._step_fn = None
+
+    def resolve_mask(self, abstract_params):
+        """Concrete bool pytree (or None) for a given param structure."""
+        m = self.trainable_mask
+        return m(abstract_params) if callable(m) else m
+
+    def trainable_abstract(self, sample_batch):
+        """Abstract TRAINABLE subtree — what the optimizer is built over
+        (None leaves where frozen)."""
+        abstract = self.abstract_params(sample_batch)
+        mask = self.resolve_mask(abstract)
+        if mask is None:
+            return abstract
+        return partition_params(abstract, mask)[0]
 
     # ---------------- state ----------------
 
@@ -89,14 +117,25 @@ class Trainer:
                 rng, ids, vision_x=normalize_on_device(images), q_media=q_media
             )["params"]
 
+        abstract = jax.eval_shape(init_fn, rng, ids, images)
+        mask = self.resolve_mask(abstract)
         if self.mesh is None:
             params = init_fn(rng, ids, images)
-            opt_state = self.optimizer.init(params)
-            return TrainState(step=jnp.int32(0), params=params, opt_state=opt_state)
-        abstract = jax.eval_shape(init_fn, rng, ids, images)
-        pshard = param_sharding(abstract, self.mesh)
-        params = jax.jit(init_fn, out_shardings=pshard)(rng, ids, images)
-        opt_state = jax.jit(self.optimizer.init)(params)
+        else:
+            pshard = param_sharding(abstract, self.mesh)
+            params = jax.jit(init_fn, out_shardings=pshard)(rng, ids, images)
+        if mask is None:
+            opt_state = jax.jit(self.optimizer.init)(params)
+            return TrainState(step=jnp.int32(0), params=params,
+                              opt_state=opt_state)
+        trainable, frozen = partition_params(params, mask)
+        if self.frozen_dtype is not None:
+            frozen = jax.jit(
+                functools.partial(cast_tree, dtype=self.frozen_dtype)
+            )(frozen)
+            params = merge_params(trainable, frozen)
+        # moments only for the trainable subtree (None leaves elsewhere)
+        opt_state = jax.jit(self.optimizer.init)(trainable)
         return TrainState(step=jnp.int32(0), params=params, opt_state=opt_state)
 
     def abstract_params(self, sample_batch):
@@ -136,17 +175,24 @@ class Trainer:
 
     def _make_step(self):
         def step(state: TrainState, batch):
-            (loss, aux), grads = jax.value_and_grad(self._loss_fn, has_aux=True)(
-                state.params, batch
-            )
+            mask = self.resolve_mask(state.params)
+            if mask is None:
+                t_params, f_params = state.params, None
+                merge = lambda t: t  # noqa: E731
+            else:
+                t_params, f_params = partition_params(state.params, mask)
+                merge = lambda t: merge_params(t, f_params)  # noqa: E731
+            (loss, aux), grads = jax.value_and_grad(
+                lambda t: self._loss_fn(merge(t), batch), has_aux=True
+            )(t_params)
             if self.mask_lm_head:
                 grads = embedding_row_mask_update(
-                    grads, state.params, self.ids["answer"]
+                    grads, t_params, self.ids["answer"]
                 )
             updates, opt_state = self.optimizer.update(
-                grads, state.opt_state, state.params
+                grads, state.opt_state, t_params
             )
-            params = optax.apply_updates(state.params, updates)
+            params = merge(optax.apply_updates(t_params, updates))
             gnorm = optax.global_norm(grads)
             if self.skip_nonfinite_updates:
                 # NaN/Inf guard: drop the whole update if the loss or the

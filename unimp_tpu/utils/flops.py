@@ -114,17 +114,28 @@ def resampler_forward_flops(cfg, n_images: int) -> float:
     return r.depth * per
 
 
-def train_step_flops(cfg, batch: int, seq: int, images_per_sample: int) -> float:
-    """Full fwd+bwd matmul FLOPs for one train step (3x forward)."""
+def train_step_flops(cfg, batch: int, seq: int, images_per_sample: int,
+                     frozen_backbone: bool = False) -> float:
+    """Matmul FLOPs for one train step.
+
+    Full model: 3x forward (fwd + dX + dW). With the reference's
+    trainability (frozen_backbone=True: vision tower + LM backbone
+    frozen, open_flamingo factory), the vision tower pays forward only
+    (no gradient path reaches it — its backward is dead code), the LM
+    backbone pays fwd + dX (gradient still flows down to the trainable
+    embeddings) but no dW, and only the resampler / gated-xattn blocks /
+    embedding-logit matmuls pay the full 3x.
+    """
     n_img = batch * images_per_sample
     n_lat = images_per_sample * cfg.resampler.num_latents
-    fwd = (
-        lm_forward_flops(cfg, batch, seq)
-        + xattn_forward_flops(cfg, batch, seq, n_lat)
-        + vision_forward_flops(cfg, n_img)
-        + resampler_forward_flops(cfg, n_img)
-    )
-    return 3.0 * fwd
+    lm_f = lm_forward_flops(cfg, batch, seq, with_logits=False)
+    logits_f = _dense(batch * seq, cfg.lm.hidden_size, cfg.lm.vocab_size)
+    x_f = xattn_forward_flops(cfg, batch, seq, n_lat)
+    vis_f = vision_forward_flops(cfg, n_img)
+    res_f = resampler_forward_flops(cfg, n_img)
+    if not frozen_backbone:
+        return 3.0 * (lm_f + logits_f + x_f + vis_f + res_f)
+    return 2.0 * lm_f + 3.0 * (logits_f + x_f + res_f) + vis_f
 
 
 def decode_flops(cfg, batch: int, prompt_len: int, images_per_sample: int,
