@@ -117,3 +117,63 @@ def test_evaluator_end_to_end(tmp_path):
                         shuffle=False, num_workers=0, drop_last=False)
     m3 = evaluate_img_sel(model, params, dl_sel, tok, max_new_tokens=4)
     assert {"recall", "precision", "f1"} <= set(m3)
+
+
+def test_latent_cache_matches_pixel_path(tmp_path):
+    """load_images=False (item-id batches + device latent cache) must
+    reproduce the pixel path exactly: same latents, same generations,
+    same metrics. The cache is the TPU eval fast path — each unique item
+    is encoded once instead of once per mention (eval_rec.py:84-110)."""
+    from unimp_tpu.data.dataset import TaskDataset
+    from unimp_tpu.data.loader import DataLoader
+    from unimp_tpu.data.transforms import normalize_on_device
+    from unimp_tpu.evals import evaluate_rec
+    from unimp_tpu.evals.latent_cache import ItemLatentCache
+    from unimp_tpu.models import UniMPModel, compute_q_media, get_config
+    from unimp_tpu.tools import synth_data
+
+    d = str(tmp_path)
+    synth_data.generate(d, n_items=16, n_users=8, image_size=28)
+    tok = synth_data.build_tokenizer(d, n_items=16)
+    cfg = get_config("debug", dtype="float32")
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 8))
+    model = UniMPModel(cfg)
+
+    def make_dl(load_images):
+        ds = TaskDataset(d, "beauty", "rec", "test", tok, n_items=16,
+                         history_len=5, image_size=28, max_records=4,
+                         load_images=load_images)
+        return ds, DataLoader(ds, batch_size=2, pad_id=tok.pad_token_id,
+                              shuffle=False, num_workers=0,
+                              pad_to_multiple=32, drop_last=False)
+
+    ds_px, dl_px = make_dl(True)
+    ds_id, dl_id = make_dl(False)
+
+    batch_px = next(iter(dl_px))
+    batch_id = next(iter(dl_id))
+    assert "image_ids" in batch_id and "images" not in batch_id
+    ids = jnp.asarray(batch_px["input_ids"])
+    params = model.init(
+        jax.random.PRNGKey(0), ids,
+        vision_x=normalize_on_device(jnp.asarray(batch_px["images"])),
+        q_media=compute_q_media(ids, tok.media_token_id),
+    )["params"]
+
+    # latents from the cache == latents from direct encode
+    cache = ItemLatentCache(model, params, ds_id.item_image, ds_id.n_items,
+                            chunk=4)
+    lat_cache = np.asarray(cache.gather(batch_id["image_ids"]))
+    lat_direct = np.asarray(model.apply(
+        {"params": params},
+        normalize_on_device(jnp.asarray(batch_px["images"])),
+        method=UniMPModel.encode_vision,
+    ))
+    np.testing.assert_allclose(lat_cache, lat_direct, rtol=2e-5, atol=2e-5)
+
+    m_px = evaluate_rec(model, params, dl_px, tok, num_beams=3,
+                        max_new_tokens=4)
+    m_id = evaluate_rec(model, params, dl_id, tok, num_beams=3,
+                        max_new_tokens=4)
+    for k in ("hr@3", "hr@5", "hr@10", "ndcg@10", "mrr@10", "n_users"):
+        assert m_px[k] == m_id[k], k

@@ -107,6 +107,10 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
                    help="sequence-parallel (ring) attention over the fsdp "
                         "mesh axis for long-context training")
     p.add_argument("--eval_batch_size", type=int, default=8)
+    p.add_argument("--no_eval_latent_cache", default=False,
+                   action="store_true",
+                   help="re-encode item images per batch at eval instead "
+                        "of the encode-once device latent cache")
     p.add_argument("--max_records", type=int, default=None,
                    help="truncate datasets (smoke runs)")
     p.add_argument("--trace_dir", type=str, default=None,

@@ -87,6 +87,11 @@ def make_dataset(args, tokenizer, split: str, task=None) -> TaskDataset:
     # (rec_dataset.py:536-611; the reference toggles it by editing code)
     if task == "img_gen" and getattr(args, "img_gen_mode", "retrieve") == "pretrain":
         task = "img_gen_pretrain"
+    # eval batches carry item ids; images are encoded once into a
+    # device-side latent cache (evals/latent_cache.py)
+    load_images = split == "train" or getattr(
+        args, "no_eval_latent_cache", False
+    )
     return TaskDataset(
         args.mmrec_path,
         args.subset,
@@ -98,6 +103,7 @@ def make_dataset(args, tokenizer, split: str, task=None) -> TaskDataset:
         seed=args.pretrain_seed,
         history_len=args.history_len,
         n_items=args.n_items,
+        load_images=load_images,
         max_records=args.max_records,
     )
 

@@ -27,9 +27,18 @@ def init_params(args, model, tokenizer, sample_batch):
 
     rng = jax.random.PRNGKey(args.seed)
     ids = jnp.asarray(sample_batch["input_ids"])
+    if "images" in sample_batch:
+        images = jnp.asarray(sample_batch["images"])
+    else:
+        # id-only (latent-cache) batch: init only needs the shape
+        import numpy as np
+
+        b, m = sample_batch["image_ids"].shape
+        s = args.patch_image_size
+        images = jnp.asarray(np.zeros((b, m, s, s, 3), np.uint8))
     return model.init(
         rng, ids,
-        vision_x=normalize_on_device(jnp.asarray(sample_batch["images"])),
+        vision_x=normalize_on_device(images),
         q_media=compute_q_media(ids, tokenizer.media_token_id),
     )["params"]
 

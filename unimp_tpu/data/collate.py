@@ -47,15 +47,21 @@ def collate_batch(
         mask[i, : len(row)] = 1
     seq_len = np.minimum(np.asarray(lens, np.int32), t)
 
-    m = max(s["images"].shape[0] for s in samples)
+    media_key = "images" if "images" in samples[0] else "image_ids"
+    m = max(s[media_key].shape[0] for s in samples)
     if fixed_media is not None:
         m = max(m, fixed_media)
-    img_shape = samples[0]["images"].shape[1:]
-    images = np.zeros((b, m) + img_shape, samples[0]["images"].dtype)
     media_count = np.zeros((b,), np.int32)
+    if media_key == "images":
+        img_shape = samples[0]["images"].shape[1:]
+        media = np.zeros((b, m) + img_shape, samples[0]["images"].dtype)
+    else:
+        # id-only batches (latent-cache eval path): pad slots point at
+        # item 0 — they are never attended (q_media stops at media_count)
+        media = np.zeros((b, m), np.int32)
     for i, s in enumerate(samples):
-        k = s["images"].shape[0]
-        images[i, :k] = s["images"]
+        k = s[media_key].shape[0]
+        media[i, :k] = s[media_key]
         media_count[i] = k
 
     batch = {
@@ -63,7 +69,7 @@ def collate_batch(
         "attention_mask": mask,
         "seq_len": seq_len,
         "weights": np.asarray([s.get("weight", 1.0) for s in samples], np.float32),
-        "images": images,
+        media_key: media,
         "media_count": media_count,
     }
     if any("target" in s for s in samples):

@@ -55,12 +55,19 @@ class TaskDataset:
         history_len: Optional[int] = None,
         n_items: Optional[int] = None,
         max_records: Optional[int] = None,
+        load_images: bool = True,
     ):
         self.data_dir = data_dir
         self.subset = subset
         self.split = split
         self.tokenizer = tokenizer
         self.image_size = image_size
+        # load_images=False: samples carry item image IDS instead of
+        # pixels — the eval path encodes each item image once into a
+        # device-side latent cache (evals/latent_cache.py) rather than
+        # re-decoding + re-uploading it for every user that mentions it
+        # (the reference re-encodes per user, eval_rec.py:100-110).
+        self.load_images = load_images
         self.img_dir = os.path.join(data_dir, subset)
         self.rng = np.random.default_rng(seed)
         self._image_cache: Dict[int, np.ndarray] = {}
@@ -165,18 +172,30 @@ class TaskDataset:
             self._image_cache[item_id] = img
         return img
 
+    def item_image(self, item_id: int) -> np.ndarray:
+        """Public accessor for the latent-cache builder."""
+        return self._load_image(item_id)
+
+    @property
+    def n_items(self) -> int:
+        return self.builder.n_items
+
     def __getitem__(self, index: int) -> dict:
         task = self.tasks[index]
         sample = self.builder.build(task, self.split, self.records[index], self.rng)
         train = self.split == "train"
         ids = self.tokenizer.encode(sample.text, add_bos=train, add_eos=train)
-        images = np.stack([self._load_image(i) for i in sample.image_ids])
         out = {
             "input_ids": np.asarray(ids, np.int32),
-            "images": images,
             "weight": sample.weight,
             "task": task,
         }
+        if self.load_images:
+            out["images"] = np.stack(
+                [self._load_image(i) for i in sample.image_ids]
+            )
+        else:
+            out["image_ids"] = np.asarray(sample.image_ids, np.int32)
         if sample.target is not None:
             out["target"] = sample.target
         if sample.extra is not None:

@@ -57,7 +57,13 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg):
     decode, tokenize, collate — the loader's worker threads) and device
     dispatch overlap with batch i's device decode, then tokens are
     materialized. The reference can't overlap at all (synchronous
-    batch-1 generate per user)."""
+    batch-1 generate per user).
+
+    Batches that carry ``image_ids`` instead of pixels (the dataset's
+    load_images=False eval mode) are served from an ItemLatentCache:
+    each unique item image is encoded exactly once for the whole eval
+    and per-batch host->device traffic drops to a [B, M] int32 array.
+    """
     gen = Generator(model, gen_cfg, media_id=tokenizer.media_token_id)
     import jax
 
@@ -70,10 +76,25 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg):
             method=type(model).encode_vision,
         )
 
+    cache = None
+
+    def batch_latents(batch):
+        nonlocal cache
+        if "image_ids" in batch:
+            if cache is None:
+                from unimp_tpu.evals.latent_cache import ItemLatentCache
+
+                ds = loader.dataset
+                cache = ItemLatentCache(
+                    model, params, ds.item_image, ds.n_items
+                )
+            return cache.gather(batch["image_ids"])
+        return encode(params, jnp.asarray(batch["images"]))
+
     pending = None  # (tokens_device, batch, t_start)
     t0 = time.perf_counter()
     for batch in loader:
-        latents = encode(params, jnp.asarray(batch["images"]))
+        latents = batch_latents(batch)
         tokens, _ = gen.generate(
             params,
             jnp.asarray(batch["input_ids"]),
