@@ -85,17 +85,20 @@ def main():
         rng = jax.random.PRNGKey(0)
         probe = next(iter(make_loader(batch_size, ds)))
         ids = jnp.asarray(probe["input_ids"])
-        params = jax.jit(
-            lambda r: model.init(
-                r, ids,
-                vision_x=normalize_on_device(jnp.asarray(probe["images"])),
-                q_media=compute_q_media(ids, tok.media_token_id),
-            )["params"]
-        )(rng)
 
         from unimp_tpu.utils.inference import cast_params_for_inference
 
-        params = cast_params_for_inference(params)
+        # init AND cast inside one jitted program: each float32 buffer is
+        # freed as soon as its bfloat16 copy exists, so a 3B-class model
+        # inits on a 16 GB chip (a separate eager cast would briefly hold
+        # f32 + bf16 trees = 20+ GB)
+        params = jax.jit(
+            lambda r: cast_params_for_inference(model.init(
+                r, ids,
+                vision_x=normalize_on_device(jnp.asarray(probe["images"])),
+                q_media=compute_q_media(ids, tok.media_token_id),
+            )["params"])
+        )(rng)
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new, eos_id=tok.eos_token_id,
             pad_id=tok.eos_token_id, num_beams=beams,

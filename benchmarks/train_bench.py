@@ -46,6 +46,9 @@ def main():
     # factory); BENCH_UNFREEZE=1 measures the full-model train step
     unfreeze = os.environ.get("BENCH_UNFREEZE", "") == "1"
     frozen_bf16 = os.environ.get("BENCH_FROZEN_BF16", "1") == "1"
+    # bf16 grads + Adam moments: the single-chip memory configuration
+    # for 3B-class training (state = 2F + 4T + 3*2T bytes vs 2F + 16T)
+    bf16_state = os.environ.get("BENCH_BF16_STATE", "") == "1"
 
     with tempfile.TemporaryDirectory() as d:
         synth_data.generate(d, n_items=128, n_users=64,
@@ -71,6 +74,7 @@ def main():
             pad_id=tok.pad_token_id, use_reweight=True, mesh=mesh,
             trainable_mask=None if unfreeze else backbone_trainable_mask,
             frozen_dtype="bfloat16" if (frozen_bf16 and not unfreeze) else None,
+            grad_dtype="bfloat16" if bf16_state else None,
         )
         rng = jax.random.PRNGKey(0)
         sample = next(iter(dl))
@@ -81,7 +85,11 @@ def main():
         n_params = sum(x.size for x in jax.tree.leaves(abstract))
         t_abs = trainer.trainable_abstract(sample)
         n_trainable = sum(x.size for x in jax.tree.leaves(t_abs))
-        trainer.optimizer = make_optimizer(t_abs, learning_rate=1e-4)
+        trainer.optimizer = make_optimizer(
+            t_abs, learning_rate=1e-4,
+            mu_dtype="bfloat16" if bf16_state else None,
+            nu_dtype="bfloat16" if bf16_state else None,
+        )
         state = trainer.init_state(rng, sample)
 
         # warmup/compile (float() materializes; block_until_ready is not
@@ -124,6 +132,7 @@ def main():
         "mfu": round(flops_per_sec / peak, 4),
         "peak_tflops": peak / 1e12,
         "remat": remat,
+        "bf16_state": bf16_state,
     }))
 
 

@@ -320,3 +320,60 @@ def test_remat_variant_trains(setup):
     assert np.isfinite(float(loss))
     gnorm = float(jnp.sqrt(sum(jnp.sum(g**2) for g in jax.tree.leaves(grads))))
     assert gnorm > 0
+
+
+def test_adam_cast_matches_optax_in_f32():
+    """_scale_by_adam_cast with f32 storage must reproduce
+    optax.scale_by_adam exactly; bf16 storage stays close (the
+    single-chip 3B memory configuration)."""
+    import optax
+
+    from unimp_tpu.train.optimizer import _scale_by_adam_cast
+
+    rng = np.random.default_rng(0)
+    params = {"w": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32),
+              "b": jnp.asarray(rng.normal(size=(4,)), jnp.float32)}
+    ref = optax.scale_by_adam()
+    ours = _scale_by_adam_cast(0.9, 0.999, 1e-8, None, None)
+    s_ref, s_ours = ref.init(params), ours.init(params)
+    ours16 = _scale_by_adam_cast(0.9, 0.999, 1e-8, jnp.bfloat16, jnp.bfloat16)
+    s16 = ours16.init(params)
+    assert s16.mu["w"].dtype == jnp.bfloat16
+    assert s16.nu["w"].dtype == jnp.bfloat16
+    for i in range(5):
+        g = {"w": jnp.asarray(rng.normal(size=(8, 4)), jnp.float32),
+             "b": jnp.asarray(rng.normal(size=(4,)), jnp.float32)}
+        u_ref, s_ref = ref.update(g, s_ref)
+        u_ours, s_ours = ours.update(g, s_ours)
+        u16, s16 = ours16.update(g, s16)
+        for k in g:
+            np.testing.assert_allclose(u_ours[k], u_ref[k], rtol=1e-6,
+                                       atol=1e-6)
+            np.testing.assert_allclose(np.asarray(u16[k], np.float32),
+                                       u_ref[k], rtol=0.1, atol=0.05)
+
+
+def test_bf16_state_train_step(setup):
+    """End-to-end step with frozen backbone + bf16 grads/moments."""
+    from unimp_tpu.train.partition import backbone_trainable_mask
+
+    tok, model, dl = setup
+    batch = next(iter(dl))
+    trainer = Trainer(
+        model, optimizer=None,
+        media_id=tok.media_token_id, answer_id=tok.answer_token_id,
+        endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+        trainable_mask=backbone_trainable_mask, frozen_dtype="bfloat16",
+        grad_dtype="bfloat16",
+    )
+    trainer.optimizer = make_optimizer(
+        trainer.trainable_abstract(batch), learning_rate=5e-3,
+        mu_dtype="bfloat16", nu_dtype="bfloat16",
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    losses = []
+    for _ in range(6):
+        state, m = trainer.train_step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses

@@ -68,6 +68,10 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--frozen_bf16", default=False, action="store_true",
                    help="store frozen params in bfloat16 (lossless when "
                         "compute dtype is bf16; halves their HBM use)")
+    p.add_argument("--bf16_opt_state", default=False, action="store_true",
+                   help="store gradients and both Adam moments in bf16 "
+                        "(f32 master weights kept) — fits 3B-class "
+                        "training on a single 16 GB chip")
     p.add_argument("--save_hf_model", default=False, action="store_true",
                    help="also export final weights as a torch .pt with "
                         "reference (OpenFlamingo) tensor names")

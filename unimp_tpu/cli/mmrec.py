@@ -161,6 +161,7 @@ def main(argv=None):
         trainable_mask=(None if args.unfreeze_backbone
                         else backbone_trainable_mask),
         frozen_dtype=("bfloat16" if args.frozen_bf16 else None),
+        grad_dtype=("bfloat16" if args.bf16_opt_state else None),
     )
 
     rng = jax.random.PRNGKey(args.seed)
@@ -175,6 +176,8 @@ def main(argv=None):
         total_steps=total_steps,
         warmup_steps=warmup,
         weight_decay=args.weight_decay,
+        mu_dtype="bfloat16" if args.bf16_opt_state else None,
+        nu_dtype="bfloat16" if args.bf16_opt_state else None,
     )
     if args.gradient_accumulation_steps > 1:
         import optax

@@ -21,7 +21,7 @@ from unimp_tpu.train import checkpoint as ckpt
 from unimp_tpu.utils import MetricLogger
 
 
-def init_params(args, model, tokenizer, sample_batch):
+def init_params(args, model, tokenizer, sample_batch, cast: bool = False):
     from unimp_tpu.data.transforms import normalize_on_device
     from unimp_tpu.models import compute_q_media
 
@@ -36,11 +36,22 @@ def init_params(args, model, tokenizer, sample_batch):
         b, m = sample_batch["image_ids"].shape
         s = args.patch_image_size
         images = jnp.asarray(np.zeros((b, m, s, s, 3), np.uint8))
-    return model.init(
-        rng, ids,
-        vision_x=normalize_on_device(images),
-        q_media=compute_q_media(ids, tokenizer.media_token_id),
-    )["params"]
+
+    def init(rng):
+        p = model.init(
+            rng, ids,
+            vision_x=normalize_on_device(images),
+            q_media=compute_q_media(ids, tokenizer.media_token_id),
+        )["params"]
+        if cast:
+            # cast INSIDE the init program: f32 buffers die as their bf16
+            # copies appear, so a 3B model inits within a 16 GB chip
+            from unimp_tpu.utils.inference import cast_params_for_inference
+
+            p = cast_params_for_inference(p)
+        return p
+
+    return jax.jit(init)(rng)
 
 
 def main(argv=None):
@@ -56,7 +67,11 @@ def main(argv=None):
     ds = common.make_dataset(args, tokenizer, "test", task=args.task)
     loader = common.make_loader(args, ds, tokenizer, train=False)
     probe = next(iter(loader))
-    params = init_params(args, model, tokenizer, probe)
+    # the inference cast happens inside the init program (and checkpoint
+    # restores target the already-cast tree) so f32 and bf16 copies of a
+    # 3B model never coexist in HBM
+    params = init_params(args, model, tokenizer, probe,
+                         cast=args.eval_param_dtype == "bf16")
 
     if args.load_weights_name:
         load_dir = args.load_dir or os.path.join(
@@ -72,11 +87,6 @@ def main(argv=None):
             params = ckpt.restore_params(
                 load_dir, args.load_weights_name, like=params
             )
-
-    if args.eval_param_dtype == "bf16":
-        from unimp_tpu.utils.inference import cast_params_for_inference
-
-        params = cast_params_for_inference(params)
 
     save_dir = os.path.join(args.external_save_dir or ".", args.run_name)
     logger = MetricLogger(save_dir, f"{args.run_name}_eval", rank=rank,

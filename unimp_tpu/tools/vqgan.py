@@ -123,11 +123,15 @@ class PatchVQTokenizer:
 
     @classmethod
     def from_torch_vqgan(cls, checkpoint_path: str):
-        """Extension point: wrap a real taming-transformers VQGAN."""
-        raise NotImplementedError(
-            "real-VQGAN wrapping requires the external checkpoint; the "
-            "hermetic patch codebook covers the pipeline end to end"
-        )
+        """Load a real taming-transformers VQGAN checkpoint.
+
+        Returns a VQGANDecoder (decode()-compatible with this class) —
+        the offline img_gen decode step of the reference flow
+        (README.md:48) with real weights instead of the hermetic
+        patch codebook."""
+        from unimp_tpu.tools.vqgan_decoder import VQGANDecoder
+
+        return VQGANDecoder.from_torch_checkpoint(checkpoint_path)
 
 
 def tokenize_item_images(

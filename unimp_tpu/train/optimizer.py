@@ -69,18 +69,77 @@ def make_optimizer(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
+    mu_dtype=None,
+    nu_dtype=None,
 ) -> optax.GradientTransformation:
     """Build the reference AdamW over `params` — pass the TRAINABLE
     subtree (None leaves where frozen, see train/partition.py) to get a
     requires_grad_(False)-equivalent optimizer: moments, decay and
-    clipping then exist only for trainable leaves."""
+    clipping then exist only for trainable leaves.
+
+    mu_dtype / nu_dtype store the Adam moments in a reduced dtype
+    (e.g. bf16) — the standard TPU memory lever (t5x ships bf16 mu);
+    accumulation still happens in f32 and is rounded on store. Defaults
+    keep full f32 parity with the reference.
+    """
     schedule = make_schedule(lr_scheduler, learning_rate, total_steps, warmup_steps)
+    if nu_dtype is None:
+        adam = optax.scale_by_adam(b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype)
+    else:
+        adam = _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype)
     return optax.chain(
         optax.clip_by_global_norm(max_grad_norm),
-        optax.scale_by_adam(b1=b1, b2=b2, eps=eps),
+        adam,
         optax.add_decayed_weights(weight_decay, mask=decay_mask(params)),
         optax.scale_by_learning_rate(schedule),
     )
+
+
+def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):
+    """scale_by_adam with BOTH moments stored in reduced dtypes.
+
+    optax only exposes mu_dtype; nu dominates the remaining state at
+    3B-scale, and bf16 range covers it (nu is a mean of squares). Math
+    is done in f32, storage rounds."""
+
+    def init(params):
+        mu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
+        )
+        nu = jax.tree.map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32), mu=mu, nu=nu
+        )
+
+    def update(grads, state, params=None):
+        count = state.count + 1
+        f32 = jnp.float32
+
+        def upd_mu(g, m):
+            return (b1 * m.astype(f32) + (1 - b1) * g.astype(f32)).astype(
+                mu_dtype or g.dtype
+            )
+
+        def upd_nu(g, n):
+            g = g.astype(f32)
+            return (b2 * n.astype(f32) + (1 - b2) * g * g).astype(
+                nu_dtype or g.dtype
+            )
+
+        mu = jax.tree.map(upd_mu, grads, state.mu)
+        nu = jax.tree.map(upd_nu, grads, state.nu)
+        bc1 = 1 - b1 ** count.astype(f32)
+        bc2 = 1 - b2 ** count.astype(f32)
+        updates = jax.tree.map(
+            lambda m, n: (m.astype(f32) / bc1)
+            / (jnp.sqrt(n.astype(f32) / bc2) + eps),
+            mu, nu,
+        )
+        return updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
 
 
 def embedding_row_mask_update(grads, params, answer_token_id: int):

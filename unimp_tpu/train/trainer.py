@@ -55,6 +55,7 @@ class Trainer:
         skip_nonfinite_updates: bool = True,
         trainable_mask=None,
         frozen_dtype=None,
+        grad_dtype=None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -77,6 +78,12 @@ class Trainer:
         # params; lossless when it equals the compute dtype.
         self.trainable_mask = trainable_mask
         self.frozen_dtype = frozen_dtype
+        # grad_dtype (e.g. bf16): storage dtype for gradient buffers —
+        # each f32 grad tensor is rounded as it is produced, so the full
+        # f32 gradient tree never lives in HBM at once (XLA fuses the
+        # casts into the producing ops). Memory lever for single-chip
+        # big-model training; default keeps f32 parity.
+        self.grad_dtype = grad_dtype
         self._step_fn = None
 
     def resolve_mask(self, abstract_params):
@@ -185,6 +192,8 @@ class Trainer:
             (loss, aux), grads = jax.value_and_grad(
                 lambda t: self._loss_fn(merge(t), batch), has_aux=True
             )(t_params)
+            if self.grad_dtype is not None:
+                grads = cast_tree(grads, self.grad_dtype)
             if self.mask_lm_head:
                 grads = embedding_row_mask_update(
                     grads, t_params, self.ids["answer"]
