@@ -177,3 +177,53 @@ def test_latent_cache_matches_pixel_path(tmp_path):
                         max_new_tokens=4)
     for k in ("hr@3", "hr@5", "hr@10", "ndcg@10", "mrr@10", "n_users"):
         assert m_px[k] == m_id[k], k
+
+
+def test_mesh_sharded_eval_matches_unsharded(tmp_path):
+    """evaluate_rec with a dp mesh (SPMD batched decode, row padding for
+    shard divisibility) must produce the same metrics as the unsharded
+    path — including a final partial batch that is not divisible by the
+    mesh size."""
+    from unimp_tpu.data.dataset import TaskDataset
+    from unimp_tpu.data.loader import DataLoader
+    from unimp_tpu.data.transforms import normalize_on_device
+    from unimp_tpu.evals import evaluate_rec
+    from unimp_tpu.models import UniMPModel, compute_q_media, get_config
+    from unimp_tpu.parallel import make_mesh
+    from unimp_tpu.tools import synth_data
+
+    d = str(tmp_path)
+    synth_data.generate(d, n_items=16, n_users=36, image_size=28)
+    tok = synth_data.build_tokenizer(d, n_items=16)
+    cfg = get_config("debug", dtype="float32")
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 8))
+    model = UniMPModel(cfg)
+
+    def make_dl():
+        ds = TaskDataset(d, "beauty", "rec", "test", tok, n_items=16,
+                         history_len=5, image_size=28, max_records=5,
+                         load_images=False)
+        assert len(ds) == 5
+        # batch 3 over 5 records -> final batch of 2 (not divisible by 8)
+        return DataLoader(ds, batch_size=3, pad_id=tok.pad_token_id,
+                          shuffle=False, num_workers=0, pad_to_multiple=32,
+                          drop_last=False, fixed_media=5)
+
+    dl = make_dl()
+    batch = next(iter(dl))
+    ids = jnp.asarray(batch["input_ids"])
+    b, m = batch["image_ids"].shape
+    params = model.init(
+        jax.random.PRNGKey(0), ids,
+        vision_x=normalize_on_device(jnp.zeros((b, m, 28, 28, 3), jnp.uint8)),
+        q_media=compute_q_media(ids, tok.media_token_id),
+    )["params"]
+
+    mesh = make_mesh(dp=None, fsdp=1, tp=1)  # 8-way dp
+    m_plain = evaluate_rec(model, params, make_dl(), tok, num_beams=3,
+                           max_new_tokens=4)
+    m_mesh = evaluate_rec(model, params, make_dl(), tok, num_beams=3,
+                          max_new_tokens=4, mesh=mesh)
+    assert m_mesh["n_users"] == 5
+    for k in ("hr@3", "hr@5", "hr@10", "ndcg@10", "mrr@10", "n_users"):
+        assert m_plain[k] == m_mesh[k], k

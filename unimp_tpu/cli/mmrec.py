@@ -53,7 +53,7 @@ def train_one_epoch(args, trainer, state, loader, epoch, logger, timer):
 
 
 def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
-              split="test"):
+              split="test", mesh=None):
     """Evaluate `tasks` on `split` with per-rank dumps.
 
     Dump naming follows the reference: rec/search per-user metric JSONs
@@ -75,7 +75,9 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
             continue
         loader = common.make_loader(args, ds, tokenizer, train=False)
         loader.drop_last = False
-        kwargs = {}
+        # with a mesh, eval batches are placed sharded over (dp, fsdp)
+        # so the beam decode runs SPMD over local chips
+        kwargs = {"mesh": mesh}
         if task in ("rec", "search"):
             kwargs["num_beams"] = args.num_beams
             # per-rank metric dump, reference naming (eval_rec.py:158)
@@ -223,10 +225,10 @@ def main(argv=None):
         # (mmrec.py:606-608, 775-871)
         if args.do_eval:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      split="eval")
+                      split="eval", mesh=mesh)
         if args.do_test:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      split="test")
+                      split="test", mesh=mesh)
         if rank == 0:
             ckpt.save_epoch(save_dir, state.params, epoch)
             ckpt.save_train_state(save_dir, state, epoch)

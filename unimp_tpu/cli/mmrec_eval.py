@@ -93,14 +93,17 @@ def main(argv=None):
                           use_wandb=args.report_to_wandb,
                           wandb_project=args.wandb_project,
                           wandb_entity=args.wandb_entity, config=vars(args))
+    mesh = common.build_mesh(args)
     tasks = [args.task] if args.single_task else None
     results = {}
     if args.do_eval:
         results["eval"] = run_evals(args, model, params, tokenizer, logger,
-                                    epoch=0, tasks=tasks, split="eval")
+                                    epoch=0, tasks=tasks, split="eval",
+                                    mesh=mesh)
     if args.do_test or not args.do_eval:
         results.update(run_evals(args, model, params, tokenizer, logger,
-                                 epoch=0, tasks=tasks, split="test"))
+                                 epoch=0, tasks=tasks, split="test",
+                                 mesh=mesh))
     if rank == 0:
         out = os.path.join(save_dir, "eval_results.json")
         with open(out, "w") as f:

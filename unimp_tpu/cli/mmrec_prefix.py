@@ -82,7 +82,7 @@ def main(argv=None):
             restored = ckpt.restore_params(load_dir, args.load_weights_name)
             params = ckpt.merge_with_growth(restored, params)
         return run_evals(args, model, params, tokenizer, logger, epoch=0,
-                         tasks=[args.task])
+                         tasks=[args.task], mesh=mesh)
 
     total_steps = len(train_loader) * args.num_epochs
     warmup = (
@@ -130,10 +130,10 @@ def main(argv=None):
         )
         if args.do_eval:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      tasks=[args.task], split="eval")
+                      tasks=[args.task], split="eval", mesh=mesh)
         if args.do_test:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      tasks=[args.task], split="test")
+                      tasks=[args.task], split="test", mesh=mesh)
         if rank == 0:
             ckpt.save_epoch(save_dir, state.params, epoch)
     if rank == 0:

@@ -50,7 +50,7 @@ def _answers(tokenizer, tokens: np.ndarray):
     return out
 
 
-def _generate_batches(model, params, loader, tokenizer, gen_cfg):
+def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None):
     """Yield (answers, batch, items_per_sec) over the eval loader.
 
     One generation is kept in flight: batch i+1's host prep (image
@@ -63,9 +63,31 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg):
     load_images=False eval mode) are served from an ItemLatentCache:
     each unique item image is encoded exactly once for the whole eval
     and per-batch host->device traffic drops to a [B, M] int32 array.
+
+    With a mesh, inputs are placed sharded over the (dp, fsdp) axes so
+    the whole beam decode runs SPMD across local chips (rows are padded
+    by repeating the last user up to the shard multiple; the padded
+    rows' answers are dropped before metrics).
     """
     gen = Generator(model, gen_cfg, media_id=tokenizer.media_token_id)
     import jax
+
+    rows_mult = 1
+    bshard = None
+    if mesh is not None:
+        from unimp_tpu.parallel.sharding import batch_sharding
+
+        bshard = batch_sharding(mesh)
+        rows_mult = mesh.shape.get("dp", 1) * mesh.shape.get("fsdp", 1)
+
+    def place(arr):
+        arr = np.asarray(arr)
+        pad = (-len(arr)) % rows_mult
+        if pad:
+            arr = np.concatenate([arr, np.repeat(arr[-1:], pad, axis=0)])
+        if bshard is not None:
+            return jax.device_put(arr, bshard)
+        return jnp.asarray(arr)
 
     @jax.jit
     def encode(p, v):
@@ -88,35 +110,35 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg):
                 cache = ItemLatentCache(
                     model, params, ds.item_image, ds.n_items
                 )
-            return cache.gather(batch["image_ids"])
-        return encode(params, jnp.asarray(batch["images"]))
+            return cache.gather(place(batch["image_ids"]))
+        return encode(params, place(batch["images"]))
 
-    pending = None  # (tokens_device, batch, t_start)
+    pending = None  # (tokens_device, n_rows, batch, t_start)
     t0 = time.perf_counter()
     for batch in loader:
         latents = batch_latents(batch)
         tokens, _ = gen.generate(
             params,
-            jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["seq_len"]),
+            place(batch["input_ids"]),
+            place(batch["seq_len"]),
             latents,
         )
         if pending is not None:
-            p_tokens, p_batch, p_t0 = pending
-            p_np = np.asarray(p_tokens)  # blocks until batch i done
+            p_tokens, p_n, p_batch, p_t0 = pending
+            p_np = np.asarray(p_tokens)[:p_n]  # blocks until batch i done
             dt = time.perf_counter() - p_t0
             yield _answers(tokenizer, p_np), p_batch, len(p_np) / dt
-        pending = (tokens, batch, t0)
+        pending = (tokens, len(batch["input_ids"]), batch, t0)
         t0 = time.perf_counter()
     if pending is not None:
-        p_tokens, p_batch, p_t0 = pending
-        p_np = np.asarray(p_tokens)
+        p_tokens, p_n, p_batch, p_t0 = pending
+        p_np = np.asarray(p_tokens)[:p_n]
         dt = time.perf_counter() - p_t0
         yield _answers(tokenizer, p_np), p_batch, len(p_np) / dt
 
 
 def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10),
-               num_beams=10, dump_path: Optional[str] = None):
+               num_beams=10, dump_path: Optional[str] = None, mesh=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
@@ -125,7 +147,7 @@ def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10
     per_user = []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh
     ):
         throughput.append(ips)
         for row, target in zip(answers, batch["targets"]):
@@ -167,7 +189,7 @@ def evaluate_exp(
     model, params, loader, tokenizer, *,
     max_new_tokens=256, num_beams=5,
     bertscore_fn: Optional[Callable] = None,
-    dump_dir: Optional[str] = None, rank: int = 0,
+    dump_dir: Optional[str] = None, rank: int = 0, mesh=None,
 ):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
@@ -178,7 +200,7 @@ def evaluate_exp(
     gen_exps, real_exps = [], []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh
     ):
         throughput.append(ips)
         for row, target in zip(answers, batch["targets"]):
@@ -215,7 +237,7 @@ def evaluate_exp(
 
 
 def evaluate_img_sel(model, params, loader, tokenizer, *,
-                     max_new_tokens=40, num_beams=2):
+                     max_new_tokens=40, num_beams=2, mesh=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
@@ -224,7 +246,7 @@ def evaluate_img_sel(model, params, loader, tokenizer, *,
     recalls, precisions, f1s = [], [], []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh
     ):
         throughput.append(ips)
         for row, target in zip(answers, batch["targets"]):
@@ -247,7 +269,8 @@ def evaluate_img_sel(model, params, loader, tokenizer, *,
 
 def evaluate_img_gen(model, params, loader, tokenizer, *,
                      max_new_tokens=600, dump_path: Optional[str] = None,
-                     rank: int = 0, epoch: int = 0, run_name: str = "run"):
+                     rank: int = 0, epoch: int = 0, run_name: str = "run",
+                     mesh=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=1, num_return_sequences=1,
@@ -255,7 +278,7 @@ def evaluate_img_gen(model, params, loader, tokenizer, *,
     generations = []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh
     ):
         throughput.append(ips)
         for row, target, extra in zip(

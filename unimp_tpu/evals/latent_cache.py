@@ -87,7 +87,12 @@ class ItemLatentCache:
         self._cached[new] = True
 
     def gather(self, image_ids) -> jax.Array:
-        """[B, M] item ids -> latents [B, M, L, D] (encoding misses)."""
-        ids = np.asarray(image_ids)
-        self._ensure(ids.ravel())
-        return self._take(self._cache, jnp.asarray(ids))
+        """[B, M] item ids -> latents [B, M, L, D] (encoding misses).
+
+        Accepts a device-placed (possibly sharded) id array — the gather
+        then keeps that placement."""
+        ids_np = np.asarray(image_ids)
+        self._ensure(ids_np.ravel())
+        dev_ids = (image_ids if hasattr(image_ids, "sharding")
+                   else jnp.asarray(ids_np))
+        return self._take(self._cache, dev_ids)
