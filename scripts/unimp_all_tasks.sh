@@ -10,4 +10,4 @@ python -m unimp_tpu.cli.mmrec \
   --learning_rate=$LR --batch_size=$BSZ \
   --gradient_accumulation_steps=$ACCUM \
   --num_epochs=10 --lr_scheduler=cosine --warmup_steps_ratio=0.01 \
-  --run_name=unimp_${SUBSET}_all --do_test "$@"
+  --run_name=unimp_${SUBSET}_all --do_test "${@:7}"

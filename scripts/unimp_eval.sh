@@ -6,4 +6,4 @@ python -m unimp_tpu.cli.mmrec_eval \
   --pretrained_model_name_or_path=$MODEL \
   --mmrec_path=${MMREC_PATH:-./data} --subset=$SUBSET --task=$TASK \
   --single_task --do_test --load_weights_name=$WEIGHTS \
-  --run_name=unimp_${SUBSET}_${TASK} "$@"
+  --run_name=unimp_${SUBSET}_${TASK} "${@:5}"

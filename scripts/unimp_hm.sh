@@ -6,4 +6,4 @@ python -m unimp_tpu.cli.mmrec \
   --mmrec_path=${MMREC_PATH:-./data} --subset=hm --task=rec \
   --single_task --use_reweight --learning_rate=$LR --batch_size=$BSZ \
   --num_epochs=50 --lr_scheduler=constant \
-  --run_name=unimp_hm_rec --do_test "$@"
+  --run_name=unimp_hm_rec --do_test "${@:4}"

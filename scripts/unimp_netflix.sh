@@ -6,4 +6,4 @@ python -m unimp_tpu.cli.mmrec \
   --mmrec_path=${MMREC_PATH:-./data} --subset=netflix --task=rec \
   --single_task --use_reweight --learning_rate=$LR --batch_size=$BSZ \
   --num_epochs=10 --lr_scheduler=cosine \
-  --run_name=unimp_netflix_rec --do_test "$@"
+  --run_name=unimp_netflix_rec --do_test "${@:4}"

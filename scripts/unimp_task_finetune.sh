@@ -9,4 +9,4 @@ python -m unimp_tpu.cli.mmrec_prefix \
   --single_task --transfer_domain=$DOMAIN \
   --load_weights_name=$WEIGHTS \
   --learning_rate=$LR --batch_size=$BSZ --num_epochs=10 \
-  --lr_scheduler=constant --run_name=unimp_transfer --do_test "$@"
+  --lr_scheduler=constant --run_name=unimp_transfer --do_test "${@:6}"

@@ -66,6 +66,21 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
                       ["rec", "exp", "img_sel", "search"])
     run_dir = os.path.join(args.external_save_dir or ".", args.run_name)
     rank = jax.process_index()
+    if mesh is not None:
+        # eval inputs are committed to the mesh (evaluators.place); params
+        # must live on the same device set or jit refuses the mix. Trainer
+        # states arrive already sharded (no-op); eval-only reloads
+        # (mmrec_eval.init_params, restore_params) arrive single-device and
+        # are placed with the train-time partition rules here.
+        from unimp_tpu.parallel.sharding import param_sharding
+
+        leaves = jax.tree_util.tree_leaves(params)
+        want = set(mesh.devices.flat)
+        if leaves and not (
+            hasattr(leaves[0], "sharding")
+            and leaves[0].sharding.device_set == want
+        ):
+            params = jax.device_put(params, param_sharding(params, mesh))
     results = {}
     for task in tasks:
         try:

@@ -295,25 +295,26 @@ class Attention(nn.Module):
             gen_kv = jax.lax.dynamic_update_slice(
                 cache, kv_new, (0, 0, step, 0, 0)
             )
-            read_kv = gen_kv
             gen_index = decode_state.get("gen_index")
+            beam_sel = None
             if gen_index is not None:
-                # beam-ancestry gather: the cache is NEVER physically
-                # reordered; each beam reads its ancestor's slot per
-                # generated position (saves a full cache read+write per
-                # step vs HF _reorder_cache)
-                read_kv = jnp.take_along_axis(
-                    gen_kv, gen_index[None, :, :, None, None], axis=1
-                )
+                # beam ancestry: the cache is NEVER physically reordered
+                # (vs HF _reorder_cache) and never gathered either — the
+                # ancestor's slot is selected inside the attention math
+                # by a one-hot contraction over the row's K beams
+                # (global cache row -> local beam index)
+                k_beams = gen_kv.shape[1] // decode_state["prompt"]["k"].shape[0]
+                beam_sel = (gen_index % k_beams).astype(jnp.int32)
             out = decode_attention(
                 q[:, 0],
                 decode_state["prompt"]["k"],
                 decode_state["prompt"]["v"],
-                read_kv[0],
-                read_kv[1],
+                gen_kv[0],
+                gen_kv[1],
                 step=step + 1,
                 kv_start=decode_state.get("kv_start"),
                 alibi=alibi,
+                beam_sel=beam_sel,
             )
             return o_proj(out[:, None]), {"kv": gen_kv}
 

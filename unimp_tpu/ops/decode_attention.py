@@ -101,8 +101,18 @@ def decode_attention(
     prompt_len: Optional[jax.Array] = None,  # [B] valid prompt length (<=T)
     alibi: Optional[jax.Array] = None,  # [H] slopes
     scale: Optional[float] = None,
+    beam_sel: Optional[jax.Array] = None,  # [BK, G] local ancestor beam
 ) -> jax.Array:
-    """Returns [BK, H, D] attention outputs in q.dtype."""
+    """Returns [BK, H, D] attention outputs in q.dtype.
+
+    beam_sel implements the ancestry table WITHOUT a gather: the gen
+    cache stays in storage order and beam k attends to position g of
+    beam ``beam_sel[bk, g]`` via a one-hot contraction over the K beams
+    of its row. A take_along_axis gather here materializes (and
+    randomly addresses) the whole [BK, G] cache per layer per step —
+    measured ~10x slower than the contiguous reads + K-fold einsum at
+    K=10 (the extra FLOPs are noise next to the HBM stream).
+    """
     bk, h, d = q.shape
     b, t = prompt_k.shape[:2]
     g = gen_k.shape[1]
@@ -128,19 +138,49 @@ def decode_attention(
     out_p, m_p, l_p = _beam_segment_attn(q_r, prompt_k, prompt_v, mask_p,
                                          scale, bias_p)
 
-    # ---- generated segment: per-beam KV ([BK] folded as batch, K=1)
+    # ---- generated segment
     pos_g = jnp.arange(g, dtype=jnp.int32)[None, :]
-    mask_g = jnp.broadcast_to(pos_g < step, (bk, g))
     bias_g = None
     if alibi is not None:
         ki_g = (t + pos_g).astype(jnp.float32)
-        bias_g = alibi[None, :, None] * (ki_g[:, None, :] - q_abs)
-    out_g, m_g, l_g = _beam_segment_attn(
-        q[:, None], gen_k, gen_v, mask_g, scale, bias_g
-    )
-    out_g = out_g.reshape(b, k_beams, h, d)
-    m_g = m_g.reshape(b, k_beams, h)
-    l_g = l_g.reshape(b, k_beams, h)
+        bias_g = alibi[None, :, None] * (ki_g[:, None, :] - q_abs)  # [1,H,G]
+    if beam_sel is None:
+        # per-beam KV, [BK] folded as batch (greedy / pre-reordered)
+        mask_g = jnp.broadcast_to(pos_g < step, (bk, g))
+        out_g, m_g, l_g = _beam_segment_attn(
+            q[:, None], gen_k, gen_v, mask_g, scale, bias_g
+        )
+        out_g = out_g.reshape(b, k_beams, h, d)
+        m_g = m_g.reshape(b, k_beams, h)
+        l_g = l_g.reshape(b, k_beams, h)
+    else:
+        # ancestry via one-hot contraction over the row's K beams
+        gk = gen_k.reshape(b, k_beams, g, h, d)
+        gv = gen_v.reshape(b, k_beams, g, h, d)
+        logits_all = jnp.einsum(
+            "bkhd,bpghd->bkpgh", q_r, gk, preferred_element_type=jnp.float32
+        ) * scale  # [B, K, P(ancestor beam), G, H]
+        sel = beam_sel.reshape(b, k_beams, g)
+        onehot = (
+            sel[:, :, None, :]
+            == jnp.arange(k_beams, dtype=sel.dtype)[None, None, :, None]
+        )  # [B, K, P, G]
+        logits = jnp.sum(
+            jnp.where(onehot[..., None], logits_all, 0.0), axis=2
+        )  # [B, K, G, H]
+        if bias_g is not None:
+            logits = logits + bias_g.transpose(0, 2, 1)[:, None]  # [1,G,H]
+        mask_bg = (pos_g < step)[None, :, :, None]  # [1, 1, G, 1]
+        logits = jnp.where(mask_bg, logits, NEG_INF)
+        m_g = jnp.max(logits, axis=2)  # [B, K, H]
+        p = jnp.exp(logits - m_g[:, :, None, :])
+        p = jnp.where(mask_bg, p, 0.0)
+        l_g = jnp.sum(p, axis=2)  # [B, K, H]
+        p_sel = p[:, :, None] * onehot[..., None]  # [B, K, P, G, H]
+        out_g = jnp.einsum(
+            "bkpgh,bpghd->bkhd", p_sel.astype(gv.dtype), gv,
+            preferred_element_type=jnp.float32,
+        )
 
     # ---- merge the two segments by logsumexp
     m = jnp.maximum(m_p, m_g)
