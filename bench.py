@@ -99,6 +99,14 @@ def main():
                 q_media=compute_q_media(ids, tok.media_token_id),
             )["params"])
         )(rng)
+        quant = os.environ.get("BENCH_QUANT", "")
+        if quant == "int8":
+            # weight-only int8 matmul kernels: halves decode weight
+            # streaming and frees HBM for larger BENCH_BATCH
+            from unimp_tpu.utils.quant import quantize_params_int8
+
+            params = quantize_params_int8(params)
+            log("[bench] int8 weight-only quantization on")
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new, eos_id=tok.eos_token_id,
             pad_id=tok.eos_token_id, num_beams=beams,

@@ -46,6 +46,7 @@ def main():
     # factory); BENCH_UNFREEZE=1 measures the full-model train step
     unfreeze = os.environ.get("BENCH_UNFREEZE", "") == "1"
     frozen_bf16 = os.environ.get("BENCH_FROZEN_BF16", "1") == "1"
+    frozen_int8 = os.environ.get("BENCH_FROZEN_INT8", "") == "1"
     # bf16 grads + Adam moments: the single-chip memory configuration
     # for 3B-class training (state = 2F + 4T + 3*2T bytes vs 2F + 16T)
     bf16_state = os.environ.get("BENCH_BF16_STATE", "") == "1"
@@ -73,7 +74,9 @@ def main():
             answer_id=tok.answer_token_id, endofchunk_id=tok.endofchunk_token_id,
             pad_id=tok.pad_token_id, use_reweight=True, mesh=mesh,
             trainable_mask=None if unfreeze else backbone_trainable_mask,
-            frozen_dtype="bfloat16" if (frozen_bf16 and not unfreeze) else None,
+            frozen_dtype=("int8" if (frozen_int8 and not unfreeze)
+                          else "bfloat16" if (frozen_bf16 and not unfreeze)
+                          else None),
             grad_dtype="bfloat16" if bf16_state else None,
         )
         rng = jax.random.PRNGKey(0)
@@ -133,6 +136,7 @@ def main():
         "peak_tflops": peak / 1e12,
         "remat": remat,
         "bf16_state": bf16_state,
+        "frozen_int8": frozen_int8,
     }))
 
 

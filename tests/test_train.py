@@ -242,6 +242,63 @@ def test_backbone_freeze_reference_trainability(setup):
     assert paths and not any(p.startswith(("vision", "block_")) for p in paths)
 
 
+def test_frozen_int8_train_step_and_float_checkpoint(setup, tmp_path):
+    """--frozen_int8: frozen kernels become QuantizedKernel leaves (int8
+    storage), trainable subtree still updates, frozen stays untouched,
+    and checkpoints save as ordinary float trees."""
+    from unimp_tpu.train import checkpoint as ckpt
+    from unimp_tpu.train.partition import backbone_trainable_mask
+    from unimp_tpu.utils.quant import QuantizedKernel, count_quantized
+
+    tok, model, dl = setup
+    batch = next(iter(dl))
+    trainer = Trainer(
+        model, optimizer=None,
+        media_id=tok.media_token_id, answer_id=tok.answer_token_id,
+        endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+        trainable_mask=backbone_trainable_mask, frozen_dtype="int8",
+    )
+    trainer.optimizer = make_optimizer(
+        trainer.trainable_abstract(batch), learning_rate=1e-2
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    n_q = count_quantized(state.params)
+    assert n_q > 5, n_q
+
+    def find_quantized(tree, prefix=()):
+        if isinstance(tree, QuantizedKernel):
+            return prefix, tree
+        if isinstance(tree, dict):
+            for k, v in tree.items():
+                hit = find_quantized(v, prefix + (k,))
+                if hit is not None:
+                    return hit
+        return None
+
+    qpath, qk0 = find_quantized(state.params)
+    q_before = np.asarray(qk0.q)
+    emb_before = np.asarray(state.params["embed"]["embedding"])
+    for _ in range(3):
+        state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    _, qk = find_quantized(state.params)
+    assert isinstance(qk, QuantizedKernel)
+    np.testing.assert_array_equal(q_before, np.asarray(qk.q))
+    assert np.abs(np.asarray(state.params["embed"]["embedding"])
+                  - emb_before).max() > 0  # trainable moved
+
+    # checkpoint saves a float tree; eval reload restores it
+    ckpt.save_params(str(tmp_path), state.params, "w")
+    restored = ckpt.restore_params(str(tmp_path), "w")
+    r_kernel = restored
+    for k in qpath:
+        r_kernel = r_kernel[k]
+    assert not isinstance(r_kernel, QuantizedKernel)
+    assert np.asarray(r_kernel).dtype == np.float32
+    deq = np.asarray(qk.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(r_kernel), deq, rtol=1e-6)
+
+
 def test_sharded_from_birth_init(setup):
     """init_state must never materialize an unsharded param/opt tree:
     optimizer.init is only ever invoked abstractly (tracers), and the

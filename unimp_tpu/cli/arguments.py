@@ -68,6 +68,10 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--frozen_bf16", default=False, action="store_true",
                    help="store frozen params in bfloat16 (lossless when "
                         "compute dtype is bf16; halves their HBM use)")
+    p.add_argument("--frozen_int8", default=False, action="store_true",
+                   help="store frozen matmul kernels weight-only int8 "
+                        "(4x less HBM than f32; checkpoints still save "
+                        "as float trees)")
     p.add_argument("--bf16_opt_state", default=False, action="store_true",
                    help="store gradients and both Adam moments in bf16 "
                         "(f32 master weights kept) — fits 3B-class "
@@ -121,9 +125,12 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
                    help="capture a jax.profiler trace of training steps")
     p.add_argument("--num_beams", type=int, default=10)
     p.add_argument("--eval_param_dtype", type=str, default="bf16",
-                   choices=["bf16", "fp32"],
+                   choices=["bf16", "fp32", "int8"],
                    help="cast params for eval/serving (bf16 halves the "
-                        "weight bandwidth of decode)")
+                        "weight bandwidth of decode; int8 = weight-only "
+                        "quantized matmul kernels — the reference worker's "
+                        "load_in_8bit equivalent — halving it again and "
+                        "freeing HBM for bigger eval batches)")
     return p
 
 

@@ -177,7 +177,8 @@ def main(argv=None):
         mesh=mesh,
         trainable_mask=(None if args.unfreeze_backbone
                         else backbone_trainable_mask),
-        frozen_dtype=("bfloat16" if args.frozen_bf16 else None),
+        frozen_dtype=("int8" if args.frozen_int8
+                      else "bfloat16" if args.frozen_bf16 else None),
         grad_dtype=("bfloat16" if args.bf16_opt_state else None),
     )
 

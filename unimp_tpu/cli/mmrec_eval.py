@@ -71,7 +71,7 @@ def main(argv=None):
     # restores target the already-cast tree) so f32 and bf16 copies of a
     # 3B model never coexist in HBM
     params = init_params(args, model, tokenizer, probe,
-                         cast=args.eval_param_dtype == "bf16")
+                         cast=args.eval_param_dtype in ("bf16", "int8"))
 
     if args.load_weights_name:
         load_dir = args.load_dir or os.path.join(
@@ -87,6 +87,12 @@ def main(argv=None):
             params = ckpt.restore_params(
                 load_dir, args.load_weights_name, like=params
             )
+    if args.eval_param_dtype == "int8":
+        # weight-only int8 AFTER restore (quantize the loaded weights);
+        # bf16 source tree frees as the int8 copies appear leaf by leaf
+        from unimp_tpu.utils.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
 
     save_dir = os.path.join(args.external_save_dir or ".", args.run_name)
     logger = MetricLogger(save_dir, f"{args.run_name}_eval", rank=rank,

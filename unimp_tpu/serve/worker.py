@@ -218,12 +218,19 @@ def main(argv=None):
     loader = common.make_loader(args, ds, tokenizer, train=False)
     from unimp_tpu.cli.mmrec_eval import init_params
 
-    params = init_params(args, model, tokenizer, next(iter(loader)))
+    params = init_params(args, model, tokenizer, next(iter(loader)),
+                         cast=args.eval_param_dtype in ("bf16", "int8"))
     if args.load_weights_name:
         from unimp_tpu.train import checkpoint as ckpt
 
         load_dir = args.load_dir or f"{args.external_save_dir or '.'}/{args.run_name}"
         params = ckpt.restore_params(load_dir, args.load_weights_name, like=params)
+    if args.eval_param_dtype == "int8":
+        # --eval_param_dtype=int8 == the reference worker's load_in_8bit
+        # (model_worker.py:86-142): weight-only quantized serving
+        from unimp_tpu.utils.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
 
     worker = ModelWorker(
         model, params, tokenizer, [args.run_name],

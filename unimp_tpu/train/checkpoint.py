@@ -21,6 +21,12 @@ def _ckptr():
 
 
 def save_params(save_dir: str, params: Any, name: str = "final_weights"):
+    from unimp_tpu.utils.quant import count_quantized, dequantize_params
+
+    if count_quantized(params):
+        # int8-frozen runs: checkpoints stay ordinary float trees so any
+        # entry point (eval reload, transfer, export) restores them
+        params = dequantize_params(params)
     path = os.path.join(os.path.abspath(save_dir), name)
     ckptr = _ckptr()
     ckptr.save(path, params, force=True)

@@ -32,9 +32,20 @@ def _is_none(x):
     return x is None
 
 
+def _quant_leaf(x):
+    from unimp_tpu.utils.quant import QuantizedKernel
+
+    return isinstance(x, QuantizedKernel)
+
+
 def path_mask(params, predicate) -> dict:
-    """Bool pytree: predicate("a/b/c", leaf) per leaf."""
-    flat, treedef = jax.tree_util.tree_flatten_with_path(params)
+    """Bool pytree: predicate("a/b/c", leaf) per leaf.
+
+    QuantizedKernel leaves (int8-frozen runs) count as single leaves so
+    the mask keeps the same structure the optimizer was built over."""
+    flat, treedef = jax.tree_util.tree_flatten_with_path(
+        params, is_leaf=_quant_leaf
+    )
     out = []
     for kp, leaf in flat:
         path = "/".join(p.key if hasattr(p, "key") else str(p) for p in kp)

@@ -137,9 +137,18 @@ class Trainer:
                               opt_state=opt_state)
         trainable, frozen = partition_params(params, mask)
         if self.frozen_dtype is not None:
-            frozen = jax.jit(
-                functools.partial(cast_tree, dtype=self.frozen_dtype)
-            )(frozen)
+            if self.frozen_dtype in ("int8", jnp.int8):
+                # weight-only int8 frozen backbone: never updated, read
+                # forward-only — 4x less HBM than f32 (2x vs bf16) and
+                # faster weight streaming; grads w.r.t. the trainable
+                # subtree flow THROUGH the dequant unchanged
+                from unimp_tpu.utils.quant import quantize_params_int8
+
+                frozen = quantize_params_int8(frozen)
+            else:
+                frozen = jax.jit(
+                    functools.partial(cast_tree, dtype=self.frozen_dtype)
+                )(frozen)
             params = merge_params(trainable, frozen)
         # moments only for the trainable subtree (None leaves elsewhere)
         opt_state = jax.jit(self.optimizer.init)(trainable)
