@@ -111,6 +111,7 @@ def main():
             max_new_tokens=max_new, eos_id=tok.eos_token_id,
             pad_id=tok.eos_token_id, num_beams=beams,
             num_return_sequences=beams,
+            kv_int8=os.environ.get("BENCH_KV_INT8", "") == "1",
         )
         gen = Generator(model, gen_cfg, media_id=tok.media_token_id)
 

@@ -114,3 +114,40 @@ def test_model_forward_close_and_decode_runs(small_model):
     seq_len = jnp.full((ids.shape[0],), ids.shape[1], jnp.int32)
     tokens, _ = gen.generate(qparams, jnp.asarray(ids), seq_len, latents)
     assert np.asarray(tokens).shape[0] == ids.shape[0]
+
+
+@pytest.mark.parametrize("num_beams", [1, 3])
+def test_kv_int8_decode_matches_fp(small_model, num_beams):
+    """kv_int8=True (int8 prompt/latent/gen KV caches) keeps beam and
+    greedy decode outputs aligned with the full-precision cache path."""
+    from unimp_tpu.decode import GenerationConfig, Generator
+
+    model, params, ids, images, media_id = small_model
+    latents = model.apply(
+        {"params": params}, jnp.asarray(images),
+        method=type(model).encode_vision,
+    )
+    seq_len = jnp.full((ids.shape[0],), ids.shape[1], jnp.int32)
+
+    def run(kv_int8):
+        gen = Generator(
+            model,
+            GenerationConfig(max_new_tokens=6, eos_id=2, pad_id=2,
+                             num_beams=num_beams,
+                             num_return_sequences=num_beams,
+                             kv_int8=kv_int8),
+            media_id=media_id,
+        )
+        tokens, scores = gen.generate(
+            params, jnp.asarray(ids), seq_len, latents
+        )
+        return np.asarray(tokens), np.asarray(scores)
+
+    t_fp, s_fp = run(False)
+    t_q8, s_q8 = run(True)
+    assert t_q8.shape == t_fp.shape
+    # int8 cache noise may flip rare near-ties; the vast majority of
+    # tokens must agree and scores must stay close
+    agree = (t_fp == t_q8).mean()
+    assert agree >= 0.8, agree
+    assert np.allclose(s_fp, s_q8, atol=0.1, rtol=0.1)

@@ -92,7 +92,8 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
         loader.drop_last = False
         # with a mesh, eval batches are placed sharded over (dp, fsdp)
         # so the beam decode runs SPMD over local chips
-        kwargs = {"mesh": mesh}
+        kwargs = {"mesh": mesh,
+                  "kv_int8": getattr(args, "kv_int8", False)}
         if task in ("rec", "search"):
             kwargs["num_beams"] = args.num_beams
             # per-rank metric dump, reference naming (eval_rec.py:158)

@@ -48,6 +48,28 @@ class GenerationConfig:
     temperature: float = 0.0
     top_k: int = 0  # 0 = disabled
     top_p: float = 1.0  # 1.0 = disabled
+    # int8 KV caches (prompt + latent + generated): decode streams every
+    # cache fully each step, so int8 storage halves that HBM term; the
+    # dequant (convert + per-head scale) fuses into the attention math
+    kv_int8: bool = False
+
+
+def quantize_kv_cache(cache: dict) -> dict:
+    """{"k","v"} [B, S, H, D] -> int8 + per-(position, head) f32 scales.
+
+    Written once at prefill, read every decode step — symmetric absmax
+    over the head dim keeps attention logits within ~0.5% while halving
+    the dominant per-step HBM stream."""
+    out = {}
+    for name in ("k", "v"):
+        arr = cache[name].astype(jnp.float32)
+        amax = jnp.max(jnp.abs(arr), axis=-1)
+        scale = jnp.maximum(amax, 1e-8) / 127.0
+        out[name] = jnp.clip(
+            jnp.round(arr / scale[..., None]), -127, 127
+        ).astype(jnp.int8)
+        out[name + "_scale"] = scale
+    return out
 
 
 def left_align(input_ids, seq_len, pad_id):
@@ -123,9 +145,14 @@ class Generator:
         )
         last_logits = logits[:, -1]  # last prompt token is at T-1 (left-pad)
 
+        self_kv = kv["self"]
+        xattn_kv = kv.get("xattn", [])
+        if cfg.kv_int8:
+            self_kv = [quantize_kv_cache(c) for c in self_kv]
+            xattn_kv = [quantize_kv_cache(c) for c in xattn_kv]
         state = {
-            "self": kv["self"],
-            "xattn": kv.get("xattn", []),
+            "self": self_kv,
+            "xattn": xattn_kv,
             "kv_start": start,
             "n_media": n_media,
             "kv_media": kv_media,
@@ -159,7 +186,7 @@ class Generator:
         cfg = self.cfg
         b = last_logits.shape[0]
         max_new = cfg.max_new_tokens
-        gen0 = self.model.init_gen_caches(b, max_new)
+        gen0 = self.model.init_gen_caches(b, max_new, quantized=cfg.kv_int8)
         sampling = cfg.temperature > 0.0
 
         def cond(carry):
@@ -203,7 +230,7 @@ class Generator:
         lp = cfg.length_penalty
 
         start_k = jnp.repeat(start, k, axis=0)  # positions only
-        gen0 = self.model.init_gen_caches(b * k, max_new)
+        gen0 = self.model.init_gen_caches(b * k, max_new, quantized=cfg.kv_int8)
         # beam-ancestry table: anc[bk, g] = GLOBAL cache row holding beam
         # bk's KV for generated position g (caches are never reordered)
         anc0 = jnp.zeros((b * k, max_new), jnp.int32)

@@ -138,11 +138,12 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None):
 
 
 def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10),
-               num_beams=10, dump_path: Optional[str] = None, mesh=None):
+               num_beams=10, dump_path: Optional[str] = None, mesh=None,
+               kv_int8=False):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
-        num_return_sequences=num_beams,
+        num_return_sequences=num_beams, kv_int8=kv_int8,
     )
     per_user = []
     throughput = []
@@ -190,11 +191,12 @@ def evaluate_exp(
     max_new_tokens=256, num_beams=5,
     bertscore_fn: Optional[Callable] = None,
     dump_dir: Optional[str] = None, rank: int = 0, mesh=None,
+    kv_int8=False,
 ):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
-        num_return_sequences=1,
+        num_return_sequences=1, kv_int8=kv_int8,
     )
     abs_err, sq_err = [], []
     gen_exps, real_exps = [], []
@@ -237,11 +239,12 @@ def evaluate_exp(
 
 
 def evaluate_img_sel(model, params, loader, tokenizer, *,
-                     max_new_tokens=40, num_beams=2, mesh=None):
+                     max_new_tokens=40, num_beams=2, mesh=None,
+                     kv_int8=False):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
-        num_return_sequences=1,
+        num_return_sequences=1, kv_int8=kv_int8,
     )
     recalls, precisions, f1s = [], [], []
     throughput = []
@@ -270,10 +273,11 @@ def evaluate_img_sel(model, params, loader, tokenizer, *,
 def evaluate_img_gen(model, params, loader, tokenizer, *,
                      max_new_tokens=600, dump_path: Optional[str] = None,
                      rank: int = 0, epoch: int = 0, run_name: str = "run",
-                     mesh=None):
+                     mesh=None, kv_int8=False):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=1, num_return_sequences=1,
+        kv_int8=kv_int8,
     )
     generations = []
     throughput = []

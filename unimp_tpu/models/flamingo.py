@@ -287,8 +287,10 @@ class UniMPModel(nn.Module):
             return logits, {"self": self_caches, "xattn": xattn_caches}
         return logits, None
 
-    def init_gen_caches(self, batch: int, max_new: int):
+    def init_gen_caches(self, batch: int, max_new: int,
+                        quantized: bool = False):
         return [
-            init_gen_cache(batch, max_new, self.cfg.lm, self.cfg.compute_dtype)
+            init_gen_cache(batch, max_new, self.cfg.lm,
+                           self.cfg.compute_dtype, quantized=quantized)
             for _ in range(self.cfg.lm.num_layers)
         ]

@@ -244,9 +244,11 @@ class Attention(nn.Module):
         # ---- cross-attention decode against cached projected latents
         if xattn_cache is not None:
             q = q_p(x)
-            out = single_query_attention(
-                q[:, 0], xattn_cache["k"], xattn_cache["v"], xattn_allowed
-            )
+            xk, xv = xattn_cache["k"], xattn_cache["v"]
+            if "k_scale" in xattn_cache:  # int8 latent KV (see quantize_kv)
+                xk = xk.astype(x.dtype) * xattn_cache["k_scale"][..., None].astype(x.dtype)
+                xv = xv.astype(x.dtype) * xattn_cache["v_scale"][..., None].astype(x.dtype)
+            out = single_query_attention(q[:, 0], xk, xv, xattn_allowed)
             return o_proj(out[:, None]), None
 
         kv_src = x if kv_x is None else kv_x
@@ -290,11 +292,43 @@ class Attention(nn.Module):
         # ---- self-attention decode: split prompt/gen cache
         if decode_state is not None:
             step = decode_state["step"]
-            cache = decode_state["gen"]["kv"]
-            kv_new = jnp.stack([k, v], axis=0).astype(cache.dtype)
-            gen_kv = jax.lax.dynamic_update_slice(
-                cache, kv_new, (0, 0, step, 0, 0)
-            )
+            gen = decode_state["gen"]
+            cache = gen["kv"]
+            kv_new = jnp.stack([k, v], axis=0)
+            if cache.dtype == jnp.int8:
+                # int8 gen cache: quantize the new token per (k/v, head)
+                # and dequantize the whole cache at read — XLA fuses the
+                # convert+scale into the attention contractions, so the
+                # HBM stream is the int8 bytes
+                amax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)),
+                               axis=-1, keepdims=True)
+                kv_scale = jnp.maximum(amax, 1e-8) / 127.0
+                q8 = jnp.clip(
+                    jnp.round(kv_new.astype(jnp.float32) / kv_scale),
+                    -127, 127,
+                ).astype(jnp.int8)
+                gen_q8 = jax.lax.dynamic_update_slice(
+                    cache, q8, (0, 0, step, 0, 0)
+                )
+                scales = jax.lax.dynamic_update_slice(
+                    gen["scale"],
+                    kv_scale[..., 0].astype(gen["scale"].dtype),
+                    (0, 0, step, 0),
+                )
+                gen_kv = gen_q8.astype(x.dtype) * scales[..., None].astype(x.dtype)
+                new_cache = {"kv": gen_q8, "scale": scales}
+            else:
+                gen_kv = jax.lax.dynamic_update_slice(
+                    cache, kv_new.astype(cache.dtype), (0, 0, step, 0, 0)
+                )
+                new_cache = {"kv": gen_kv}
+            prompt_k = decode_state["prompt"]["k"]
+            prompt_v = decode_state["prompt"]["v"]
+            if "k_scale" in decode_state["prompt"]:  # int8 prompt KV
+                p_ks = decode_state["prompt"]["k_scale"]
+                p_vs = decode_state["prompt"]["v_scale"]
+                prompt_k = prompt_k.astype(x.dtype) * p_ks[..., None].astype(x.dtype)
+                prompt_v = prompt_v.astype(x.dtype) * p_vs[..., None].astype(x.dtype)
             gen_index = decode_state.get("gen_index")
             beam_sel = None
             if gen_index is not None:
@@ -303,12 +337,12 @@ class Attention(nn.Module):
                 # ancestor's slot is selected inside the attention math
                 # by a one-hot contraction over the row's K beams
                 # (global cache row -> local beam index)
-                k_beams = gen_kv.shape[1] // decode_state["prompt"]["k"].shape[0]
+                k_beams = gen_kv.shape[1] // prompt_k.shape[0]
                 beam_sel = (gen_index % k_beams).astype(jnp.int32)
             out = decode_attention(
                 q[:, 0],
-                decode_state["prompt"]["k"],
-                decode_state["prompt"]["v"],
+                prompt_k,
+                prompt_v,
                 gen_kv[0],
                 gen_kv[1],
                 step=step + 1,
@@ -316,7 +350,7 @@ class Attention(nn.Module):
                 alibi=alibi,
                 beam_sel=beam_sel,
             )
-            return o_proj(out[:, None]), {"kv": gen_kv}
+            return o_proj(out[:, None]), new_cache
 
         # ---- full / prefill
         out = multi_head_attention(

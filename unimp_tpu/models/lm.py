@@ -78,16 +78,23 @@ class DecoderBlock(nn.Module):
         return x, cache
 
 
-def init_gen_cache(batch: int, max_new: int, cfg: LMConfig, dtype=jnp.bfloat16):
+def init_gen_cache(batch: int, max_new: int, cfg: LMConfig, dtype=jnp.bfloat16,
+                   quantized: bool = False):
     """Per-layer generated-token KV cache, K and V merged into one array
     [2, B*, max_new, Hkv, D] so the per-step beam reorder and cache write
     are ONE kernel each per layer instead of two (decode is
-    kernel-launch bound on small steps)."""
-    return {
-        "kv": jnp.zeros(
-            (2, batch, max_new, cfg.kv_heads, cfg.head_dim), dtype
-        ),
-    }
+    kernel-launch bound on small steps).
+
+    quantized: int8 storage + per-(position, head) f32 scales — decode
+    streams the whole padded cache every step, so halving its bytes
+    shaves HBM-bound step time (see decode_attention docstring)."""
+    shape = (2, batch, max_new, cfg.kv_heads, cfg.head_dim)
+    if quantized:
+        return {
+            "kv": jnp.zeros(shape, jnp.int8),
+            "scale": jnp.zeros(shape[:-1], jnp.float32),
+        }
+    return {"kv": jnp.zeros(shape, dtype)}
 
 
 class CausalLM(nn.Module):
