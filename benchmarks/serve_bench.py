@@ -105,7 +105,7 @@ def main():
         out.append({
             "ttft": ttft if ttft is not None else time.perf_counter() - t0,
             "wall": time.perf_counter() - t0,
-            "tokens": len(tok.encode(text)) if text else max_new,
+            "tokens": len(tok.encode(text)) if text else 0,
         })
 
     # warmup/compile: one request end-to-end
@@ -139,9 +139,9 @@ def main():
         "value": round(total_tokens / wall, 3),
         "unit": "tokens/sec",
         "requests_per_sec": round(len(oks) / wall, 3),
-        "ttft_p50_ms": round(
+        "ttft_p50_ms": (round(
             sorted(r["ttft"] for r in oks)[len(oks) // 2] * 1e3, 1
-        ),
+        ) if oks else None),
         "concurrency": concurrency,
         "max_new_tokens": max_new,
         "errors": len(errors),

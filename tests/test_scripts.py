@@ -55,9 +55,12 @@ COMMON = [
 ]
 
 
-def test_unimp_task_script(synth_dir, tmp_path):
-    run_dir = str(tmp_path)
-    out = _run(
+@pytest.fixture(scope="module")
+def trained_run(synth_dir, tmp_path_factory):
+    """One unimp_task.sh training run shared by both script tests (the
+    subprocess train dominates the suite's wall time on one CPU core)."""
+    run_dir = str(tmp_path_factory.mktemp("script_runs"))
+    _run(
         "unimp_task.sh",
         # the 7 positional hyperparameters (lr bsz model subset task gamma accum)
         ["1e-3", "4", "debug", "beauty", "rec", "2", "1"],
@@ -65,22 +68,18 @@ def test_unimp_task_script(synth_dir, tmp_path):
                   "--warmup_steps=0"],
         synth_dir, run_dir,
     )
-    run = os.path.join(run_dir, "unimp_beauty_rec")
+    return run_dir
+
+
+def test_unimp_task_script(trained_run):
+    run = os.path.join(trained_run, "unimp_beauty_rec")
     assert os.path.isdir(os.path.join(run, "final_weights"))
     assert any(f.startswith("unimp_beauty_rec_rec_test")
                for f in os.listdir(os.path.join(run, "results")))
 
 
-def test_unimp_eval_script(synth_dir, tmp_path):
-    run_dir = str(tmp_path)
-    # train first so there is a checkpoint to load
-    _run(
-        "unimp_task.sh",
-        ["1e-3", "4", "debug", "beauty", "rec", "2", "1"],
-        COMMON + [f"--external_save_dir={run_dir}", "--num_epochs=1",
-                  "--warmup_steps=0"],
-        synth_dir, run_dir,
-    )
+def test_unimp_eval_script(synth_dir, trained_run):
+    run_dir = trained_run
     _run(
         "unimp_eval.sh",
         ["debug", "beauty", "rec", "final_weights"],

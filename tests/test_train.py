@@ -298,6 +298,42 @@ def test_frozen_int8_train_step_and_float_checkpoint(setup, tmp_path):
     deq = np.asarray(qk.astype(jnp.float32))
     np.testing.assert_allclose(np.asarray(r_kernel), deq, rtol=1e-6)
 
+    # ---- resume roundtrip: checkpoints are float trees, the restore
+    # targets the dequantized layout, and apply_frozen_storage re-applies
+    # the int8 frozen layout (the --resume_from_checkpoint path)
+    from unimp_tpu.utils.quant import abstract_dequantized
+
+    ckpt.save_train_state(str(tmp_path), state, epoch=0)
+    like = {"params": abstract_dequantized(state.params),
+            "opt_state": state.opt_state, "step": state.step, "epoch": 0}
+    payload = ckpt.restore_params(str(tmp_path), "checkpoint_0", like=like)
+    assert int(payload["epoch"]) == 0
+    resumed = trainer.apply_frozen_storage(payload["params"])
+    _, qk_r = find_quantized(resumed)
+    assert isinstance(qk_r, QuantizedKernel)
+    # requantizing the dequantized weights is idempotent (same grid)
+    np.testing.assert_array_equal(np.asarray(qk.q), np.asarray(qk_r.q))
+    np.testing.assert_allclose(
+        np.asarray(resumed["embed"]["embedding"]),
+        np.asarray(state.params["embed"]["embedding"]), rtol=1e-6)
+
+
+def test_quantized_param_sharding_specs():
+    """param_specs on an int8-quantized tree: q keeps the kernel's
+    partition rule, the per-channel scale is replicated."""
+    from jax.sharding import PartitionSpec as P
+
+    from unimp_tpu.parallel.sharding import param_specs
+    from unimp_tpu.utils.quant import quantize_params_int8
+
+    tree = {"block_0": {"mlp": {"up": {"kernel": jnp.ones((256, 512))}}}}
+    qtree = quantize_params_int8(tree, min_size=1)
+    specs = param_specs(qtree)
+    qk_specs = specs["block_0"]["mlp"]["up"]["kernel"]
+    float_specs = param_specs(tree)["block_0"]["mlp"]["up"]["kernel"]
+    assert qk_specs.q == float_specs  # same rule as the float kernel
+    assert qk_specs.scale == P()
+
 
 def test_sharded_from_birth_init(setup):
     """init_state must never materialize an unsharded param/opt tree:

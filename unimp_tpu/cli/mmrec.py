@@ -206,24 +206,52 @@ def main(argv=None):
         )
     state = trainer.init_state(rng, sample_batch)
 
+    from unimp_tpu.utils.quant import abstract_dequantized, count_quantized
+
+    def restore_storage(params):
+        """Float tree (checkpoint/torch) -> live layout: re-apply int8
+        frozen storage and the original shardings."""
+        params = trainer.apply_frozen_storage(params)
+        return jax.device_put(
+            params, jax.tree.map(lambda x: x.sharding, state.params)
+        )
+
     if args.load_from_original_checkpoint:
         from unimp_tpu.tools.convert_torch import load_torch_checkpoint
 
-        state = state.replace(params=load_torch_checkpoint(
-            args.load_from_original_checkpoint, state.params))
+        like = state.params
+        if count_quantized(like):
+            # the converter fits torch tensors onto FLOAT targets (and
+            # keeps the target value where a key is missing) — hand it
+            # host-side dequantized floats, then restore int8 storage
+            from unimp_tpu.utils.quant import dequantize_params_host
+
+            like = dequantize_params_host(like)
+        loaded = load_torch_checkpoint(
+            args.load_from_original_checkpoint, like
+        )
+        state = state.replace(params=restore_storage(loaded))
 
     resume_epoch = 0
     if args.resume_from_checkpoint:
         latest = ckpt.latest_checkpoint(save_dir)
         if latest:
             logger.print(f"Resuming from {latest}")
+            quantized = count_quantized(state.params) > 0
+            like_params = (abstract_dequantized(state.params)
+                           if quantized else state.params)
             payload = ckpt.restore_params(
                 save_dir, latest,
-                like={"params": state.params, "opt_state": state.opt_state,
+                like={"params": like_params, "opt_state": state.opt_state,
                       "step": state.step, "epoch": 0},
             )
+            params = payload["params"]
+            if quantized:
+                # checkpoints are float trees (save_params dequantizes);
+                # re-apply the int8 frozen storage and shardings
+                params = restore_storage(params)
             state = state.replace(
-                params=payload["params"], opt_state=payload["opt_state"],
+                params=params, opt_state=payload["opt_state"],
                 step=payload["step"],
             )
             resume_epoch = int(payload["epoch"]) + 1
@@ -265,8 +293,13 @@ def main(argv=None):
             family = ("mpt" if get_config(variant_name(args)).lm.positions
                       == "alibi" else "neox")
             out = os.path.join(save_dir, "final_weights_torch.pt")
+            export_params = state.params
+            if count_quantized(export_params):
+                from unimp_tpu.utils.quant import dequantize_params_host
+
+                export_params = dequantize_params_host(export_params)
             save_torch_checkpoint(
-                jax.device_get(state.params), out, lm_family=family
+                jax.device_get(export_params), out, lm_family=family
             )
             logger.print(f"Exported torch checkpoint: {out}")
         logger.print(f"Saved final weights under {save_dir}")

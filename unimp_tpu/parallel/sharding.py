@@ -65,11 +65,21 @@ def _tree_paths(tree):
 
 
 def param_specs(params):
-    """Pytree of PartitionSpec matching `params` leaves."""
+    """Pytree of PartitionSpec matching `params` leaves.
+
+    QuantizedKernel (int8 weight-only) flattens to q/scale leaves whose
+    paths gain a trailing '/.q' / '/.scale' — the q array keeps the
+    KERNEL's partition rule (same shape as the float kernel) and the
+    per-channel scale is replicated (it is tiny and its rank differs)."""
     paths, leaves, treedef = _tree_paths(params)
     rules = partition_rules()
     specs = []
     for path, leaf in zip(paths, leaves):
+        if path.endswith("/.scale"):
+            specs.append(P())
+            continue
+        if path.endswith("/.q"):
+            path = path[: -len("/.q")]
         spec = spec_for_path(path, rules)
         # Guard: never shard a dim that isn't divisible; fall back to
         # replication of that dim (keeps tiny test models valid on 8 dev).

@@ -21,12 +21,15 @@ def _ckptr():
 
 
 def save_params(save_dir: str, params: Any, name: str = "final_weights"):
-    from unimp_tpu.utils.quant import count_quantized, dequantize_params
+    from unimp_tpu.utils.quant import count_quantized, dequantize_params_host
 
     if count_quantized(params):
         # int8-frozen runs: checkpoints stay ordinary float trees so any
-        # entry point (eval reload, transfer, export) restores them
-        params = dequantize_params(params)
+        # entry point (eval reload, transfer, export) restores them.
+        # Dequantize leaf-by-leaf to HOST — a full on-device float copy
+        # of the frozen tree would spike HBM by ~4 bytes/param exactly
+        # on the memory-tight configs --frozen_int8 exists for.
+        params = dequantize_params_host(params)
     path = os.path.join(os.path.abspath(save_dir), name)
     ckptr = _ckptr()
     ckptr.save(path, params, force=True)

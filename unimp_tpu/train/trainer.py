@@ -137,22 +137,41 @@ class Trainer:
                               opt_state=opt_state)
         trainable, frozen = partition_params(params, mask)
         if self.frozen_dtype is not None:
-            if self.frozen_dtype in ("int8", jnp.int8):
-                # weight-only int8 frozen backbone: never updated, read
-                # forward-only — 4x less HBM than f32 (2x vs bf16) and
-                # faster weight streaming; grads w.r.t. the trainable
-                # subtree flow THROUGH the dequant unchanged
-                from unimp_tpu.utils.quant import quantize_params_int8
-
-                frozen = quantize_params_int8(frozen)
-            else:
-                frozen = jax.jit(
-                    functools.partial(cast_tree, dtype=self.frozen_dtype)
-                )(frozen)
+            frozen = self._apply_frozen_dtype(frozen)
             params = merge_params(trainable, frozen)
         # moments only for the trainable subtree (None leaves elsewhere)
         opt_state = jax.jit(self.optimizer.init)(trainable)
         return TrainState(step=jnp.int32(0), params=params, opt_state=opt_state)
+
+    def _compute_dtype(self):
+        cfg = getattr(self.model, "cfg", None)
+        return getattr(cfg, "compute_dtype", jnp.bfloat16)
+
+    def _apply_frozen_dtype(self, frozen):
+        if self.frozen_dtype in ("int8", jnp.int8):
+            # weight-only int8 frozen backbone: never updated, read
+            # forward-only — 4x less HBM than f32 (2x vs bf16) and
+            # faster weight streaming; grads w.r.t. the trainable
+            # subtree flow THROUGH the dequant unchanged. Dequant
+            # targets the MODEL's compute dtype (fp32 runs must not
+            # truncate through bf16 on the fused decode paths).
+            from unimp_tpu.utils.quant import quantize_params_int8
+
+            return quantize_params_int8(frozen, dtype=self._compute_dtype())
+        return jax.jit(
+            functools.partial(cast_tree, dtype=self.frozen_dtype)
+        )(frozen)
+
+    def apply_frozen_storage(self, params):
+        """Re-apply the frozen-subtree storage layout (int8/bf16) to a
+        PLAIN float param tree — for trees arriving from checkpoint
+        restore or torch conversion, which always carry ordinary float
+        arrays (save_params dequantizes on write)."""
+        mask = self.resolve_mask(params)
+        if mask is None or self.frozen_dtype is None:
+            return params
+        trainable, frozen = partition_params(params, mask)
+        return merge_params(trainable, self._apply_frozen_dtype(frozen))
 
     def abstract_params(self, sample_batch):
         """ShapeDtypeStruct param tree via eval_shape — for building

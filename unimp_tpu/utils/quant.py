@@ -3,11 +3,10 @@
 TPU-native counterpart of the reference worker's 8-bit load option
 (/root/reference/UniMP/pipeline/serve/model_worker.py:86-142,
 ``load_in_8bit``): matmul kernels are stored int8 with a per-output-
-channel f32 scale and dequantized to bf16 at the point of use inside
-the jitted program. Decode at small batch streams the full weight set
-from HBM every step, so halving the weight bytes both speeds the step
-and frees HBM for larger eval batches (the bigger win: per-item matmul
-efficiency rises steeply with row count on the MXU).
+channel f32 scale and dequantized to the compute dtype at the point of
+use inside the jitted program. Decode at small batch streams the full
+weight set from HBM every step, so halving the weight bytes both
+speeds the step and frees HBM for larger eval batches.
 
 No model changes: ``QuantizedKernel`` is a pytree that any jnp op
 accepts via the ``__jax_array__`` protocol — flax modules calling
@@ -30,15 +29,19 @@ class QuantizedKernel:
     ``q.shape[1:]`` (axis 0 is the input dim in flax kernels) and
     broadcasts over it. flax's apply-time shape validation only checks
     the first flattened leaf (q), which keeps the original shape.
+
+    ``dtype`` is the COMPUTE dtype the implicit ``__jax_array__``
+    dequant targets (stored as static pytree aux data) — it must match
+    the model's compute dtype so fp32-precision runs don't silently
+    truncate through bf16 on the fused-weight decode paths.
     """
 
-    __slots__ = ("q", "scale")
+    __slots__ = ("q", "scale", "_dtype")
 
-    compute_dtype = jnp.bfloat16
-
-    def __init__(self, q, scale):
+    def __init__(self, q, scale, dtype=jnp.bfloat16):
         self.q = q
         self.scale = scale
+        self._dtype = jnp.dtype(dtype)
 
     # ---- array-protocol surface used by the model code ----
 
@@ -56,7 +59,7 @@ class QuantizedKernel:
 
     @property
     def dtype(self):
-        return jnp.dtype(self.compute_dtype)
+        return self._dtype
 
     def astype(self, dtype):
         return self.q.astype(dtype) * self.scale.astype(dtype)
@@ -67,39 +70,47 @@ class QuantizedKernel:
         if len(shape) >= 2 and shape[0] == self.q.shape[0]:
             # input axis kept: reshape q and the per-channel scale in step
             return QuantizedKernel(
-                self.q.reshape(shape), self.scale.reshape(shape[1:])
+                self.q.reshape(shape), self.scale.reshape(shape[1:]),
+                dtype=self._dtype,
             )
         return self.__jax_array__().reshape(shape)
 
     def __jax_array__(self):
-        return self.astype(self.compute_dtype)
+        return self.astype(self._dtype)
 
     def __repr__(self):
-        return f"QuantizedKernel(shape={self.q.shape}, scale={self.scale.shape})"
+        return (f"QuantizedKernel(shape={self.q.shape}, "
+                f"scale={self.scale.shape}, dtype={self._dtype})")
+
+
+def _is_qk(x):
+    return isinstance(x, QuantizedKernel)
 
 
 jax.tree_util.register_pytree_with_keys(
     QuantizedKernel,
     lambda t: (((jax.tree_util.GetAttrKey("q"), t.q),
-                (jax.tree_util.GetAttrKey("scale"), t.scale)), None),
-    lambda _, children: QuantizedKernel(*children),
+                (jax.tree_util.GetAttrKey("scale"), t.scale)), t._dtype),
+    lambda dtype, children: QuantizedKernel(*children, dtype=dtype),
 )
 
 
 def _quantize_leaf(leaf):
-    """[in, ...] kernel -> QuantizedKernel with scale over axis 0."""
+    """[in, ...] kernel -> (q int8, scale f32 over axis 0)."""
     w = jnp.asarray(leaf, jnp.float32)
     amax = jnp.max(jnp.abs(w), axis=0)
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
-    return QuantizedKernel(q, scale)
+    return q, scale
 
 
-def quantize_params_int8(params, *, min_size: int = 1 << 16):
+def quantize_params_int8(params, *, min_size: int = 1 << 16,
+                         dtype=jnp.bfloat16):
     """Quantize every matmul kernel (leaf named 'kernel', ndim>=2 and at
     least ``min_size`` elements) to int8; other leaves pass through
     (norms/biases/embeddings stay high precision — embeddings are
-    lookup tables, not streamed matmuls)."""
+    lookup tables, not streamed matmuls). ``dtype`` is the compute
+    dtype the kernels dequantize to inside the model."""
     quant = jax.jit(_quantize_leaf)
 
     def walk(path, leaf):
@@ -111,20 +122,46 @@ def quantize_params_int8(params, *, min_size: int = 1 << 16):
             and leaf.size >= min_size
             and not isinstance(leaf, QuantizedKernel)
         ):
-            return quant(leaf)
+            return QuantizedKernel(*quant(leaf), dtype=dtype)
         return leaf
 
     return jax.tree_util.tree_map_with_path(walk, params)
 
 
 def dequantize_params(params, dtype=jnp.float32):
-    """QuantizedKernel leaves -> plain float arrays (checkpoint saves
-    stay ordinary float trees regardless of runtime quantization)."""
+    """QuantizedKernel leaves -> plain float arrays ON DEVICE.
+
+    Materializes the full float tree — use dequantize_params_host for
+    big models where that would spike HBM (checkpoint/export paths)."""
     return jax.tree_util.tree_map(
-        lambda x: x.astype(dtype) if isinstance(x, QuantizedKernel) else x,
-        params,
-        is_leaf=lambda x: isinstance(x, QuantizedKernel),
+        lambda x: x.astype(dtype) if _is_qk(x) else x,
+        params, is_leaf=_is_qk,
     )
+
+
+def dequantize_params_host(params, dtype=np.float32):
+    """QuantizedKernel leaves -> HOST numpy float arrays, one kernel at
+    a time: the device transient is a single kernel's float copy, never
+    the whole frozen tree (a 2.7B --frozen_int8 run would otherwise
+    materialize ~10 GB f32 on a 16 GB chip mid-training just to save a
+    checkpoint)."""
+    def leaf(x):
+        if _is_qk(x):
+            return np.asarray(x.astype(jnp.float32)).astype(dtype)
+        return x
+
+    return jax.tree_util.tree_map(leaf, params, is_leaf=_is_qk)
+
+
+def abstract_dequantized(params, dtype=jnp.float32):
+    """ShapeDtypeStruct tree of the dequantized layout — the restore
+    target for checkpoints written by dequantizing saves (no memory)."""
+    def leaf(x):
+        if _is_qk(x):
+            return jax.ShapeDtypeStruct(x.shape, dtype)
+        return x
+
+    return jax.tree_util.tree_map(leaf, params, is_leaf=_is_qk)
 
 
 def quantized_bytes(params) -> int:
@@ -141,11 +178,9 @@ def count_quantized(params) -> int:
 
     def walk(leaf):
         nonlocal n
-        if isinstance(leaf, QuantizedKernel):
+        if _is_qk(leaf):
             n += 1
         return leaf
 
-    jax.tree_util.tree_map(
-        walk, params, is_leaf=lambda x: isinstance(x, QuantizedKernel)
-    )
+    jax.tree_util.tree_map(walk, params, is_leaf=_is_qk)
     return n
