@@ -65,7 +65,9 @@ def main():
         ds = TaskDataset(d, "beauty", "rec", "train", tok, n_items=128,
                          history_len=5, image_size=cfg.vision.image_size)
         dl = DataLoader(ds, batch_size=batch, pad_id=tok.pad_token_id,
-                        num_workers=4, pad_to_multiple=128, fixed_media=5)
+                        num_workers=4,
+                        pad_to_multiple=int(os.environ.get("BENCH_PAD", "128")),
+                        fixed_media=5)
         mesh = make_mesh() if len(jax.devices()) > 1 else None
         from unimp_tpu.train.partition import backbone_trainable_mask
 

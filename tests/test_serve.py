@@ -71,6 +71,30 @@ def tiny_worker():
                        max_new_tokens=8)
 
 
+def test_manual_register_worker_fetches_status(tiny_worker):
+    """register_worker.py sends no worker_status; the controller must
+    fetch it from the worker (reference controller.py get_worker_status
+    fallback) so the models list is populated."""
+    wsrv = ThreadingHTTPServer(("127.0.0.1", 0), worker_handler(tiny_worker))
+    addr = f"http://127.0.0.1:{wsrv.server_address[1]}"
+    threading.Thread(target=wsrv.serve_forever, daemon=True).start()
+    try:
+        from unimp_tpu.serve.register_worker import register
+
+        c = Controller()
+        csrv = ThreadingHTTPServer(("127.0.0.1", 0), controller_handler(c))
+        caddr = f"http://127.0.0.1:{csrv.server_address[1]}"
+        threading.Thread(target=csrv.serve_forever, daemon=True).start()
+        try:
+            status = register(caddr, addr)  # no worker_status payload
+            assert status == 200
+            assert c.list_models() == ["tiny"]
+        finally:
+            csrv.shutdown()
+    finally:
+        wsrv.shutdown()
+
+
 def test_worker_stream_end_to_end(tiny_worker):
     import requests
 

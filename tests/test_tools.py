@@ -244,6 +244,35 @@ def test_misc_converters_and_webdata(tmp_path):
     assert len(list(d0)) + len(list(d1)) <= 25
 
 
+def test_mimicit_train_index(tmp_path):
+    """get_SN_train_data semantics: keep each conversation's FINAL round
+    (reference get_SN_train_data.py:14-44) with its rel_ins_ids."""
+    import json
+
+    from unimp_tpu.tools.misc_converters import build_mimicit_train_index
+
+    data = {
+        "SN_00_INS_scene0_00_act0_round0": {
+            "instruction": "a", "answer": "x", "image_ids": ["i0"],
+            "rel_ins_ids": []},
+        "SN_00_INS_scene0_00_act0_round1": {
+            "instruction": "b", "answer": "y", "image_ids": ["i1"],
+            "rel_ins_ids": ["SN_00_INS_scene0_00_act0_round0"]},
+        "SN_00_INS_scene1_00_act0_round0": {
+            "instruction": "c", "answer": "z", "image_ids": ["i2"],
+            "rel_ins_ids": []},
+    }
+    src = tmp_path / "ins.json"
+    src.write_text(json.dumps({"data": data}))
+    out = tmp_path / "train.json"
+    idx = build_mimicit_train_index(str(src), str(out))
+    assert set(idx) == {"SN_00_INS_scene0_00_act0_round1",
+                        "SN_00_INS_scene1_00_act0_round0"}
+    assert idx["SN_00_INS_scene0_00_act0_round1"] == [
+        "SN_00_INS_scene0_00_act0_round0"]
+    assert json.loads(out.read_text()) == idx
+
+
 def test_img_gen_decode_closure(tmp_path):
     """Generated token strings decode back to images (end-to-end img_gen)."""
     import json

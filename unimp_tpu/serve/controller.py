@@ -52,6 +52,11 @@ class Controller:
 
     def register_worker(self, name: str, check_heart_beat: bool,
                         status: Optional[dict]) -> bool:
+        if status is None:
+            # manual registration (register_worker.py) sends no status —
+            # fetch it from the worker, matching the reference
+            # controller's get_worker_status fallback (controller.py:93)
+            status = self._fetch_status(name)
         status = status or {}
         with self.lock:
             self.workers[name] = WorkerInfo(
@@ -61,6 +66,20 @@ class Controller:
                 check_heart_beat,
             )
         return True
+
+    def _fetch_status(self, name: str) -> Optional[dict]:
+        import json as _json
+        import urllib.request
+
+        try:
+            req = urllib.request.Request(
+                name.rstrip("/") + "/worker_get_status", data=b"{}",
+                headers={"Content-Type": "application/json"},
+            )
+            with urllib.request.urlopen(req, timeout=5) as r:
+                return _json.loads(r.read() or b"{}")
+        except Exception:
+            return None
 
     def receive_heart_beat(self, name: str, queue_length: int) -> bool:
         with self.lock:

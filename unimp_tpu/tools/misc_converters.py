@@ -62,6 +62,53 @@ def shard_jsonl(
     return paths
 
 
+def build_mimicit_train_index(
+    instructions_path: str,
+    out_path: str,
+    *,
+    round_delim: str = "_round",
+) -> dict:
+    """MIMIC-IT instructions JSON -> train index {final_round_id:
+    rel_ins_ids}.
+
+    The reference's get_SD/SN/llava generators
+    (/root/reference/UniMP/pipeline/utils/get_SN_train_data.py:14-44)
+    walk a MIMIC-IT ``{"data": {id: {instruction, answer, image_ids,
+    rel_ins_ids}}}`` file, group the instruction ids by conversation
+    (everything before the trailing round number), and keep only each
+    conversation's FINAL round as a training sample — its
+    ``rel_ins_ids`` then provide the in-context chain
+    (mimicit_dataset.py:82-120; consumed here by
+    data/instruct_dataset.MultiInstructDataset). This is the generic,
+    source-agnostic version of those per-dataset scripts.
+    """
+    import re
+
+    with open(instructions_path) as f:
+        payload = json.load(f)
+    data = payload.get("data", payload)
+
+    def split_round(ins_id: str):
+        m = re.match(rf"^(.*{re.escape(round_delim)})(\d+)$", ins_id)
+        if m:
+            return m.group(1), int(m.group(2))
+        return ins_id, 0  # no round structure: every id is final
+
+    last_round: dict = {}
+    for ins_id in data:
+        conv, rnd = split_round(ins_id)
+        if conv not in last_round or rnd > last_round[conv][1]:
+            last_round[conv] = (ins_id, rnd)
+
+    index = {
+        ins_id: list(data[ins_id].get("rel_ins_ids", []))
+        for ins_id, _ in last_round.values()
+    }
+    with open(out_path, "w") as f:
+        json.dump(index, f)
+    return index
+
+
 def convert_interleaved_corpus(
     manifest_path: str, out_dir: str, **kw
 ) -> List[str]:
