@@ -76,6 +76,15 @@ def test_train_eval_transfer_cli(env):
     assert "rec" in results and 0.0 <= results["rec"]["hr@10"] <= 1.0
     assert os.path.exists(os.path.join(run_dir, "eval_results.json"))
 
+    # ---- eval-only reload with int8 KV caches (the --kv_int8 wiring)
+    results_q8 = mmrec_eval.main(
+        _common_args(data, runs)
+        + ["--run_name=smoke", "--do_test",
+           "--load_weights_name=final_weights", "--kv_int8",
+           "--max_records=4"]
+    )
+    assert "rec" in results_q8 and 0.0 <= results_q8["rec"]["hr@10"] <= 1.0
+
     # ---- transfer: frozen backbone fine-tune from the checkpoint
     state2 = mmrec_prefix.main(
         _common_args(data, runs)
