@@ -117,7 +117,7 @@ def main():
 
         pipeline_depth = int(os.environ.get("BENCH_PIPELINE", "3"))
 
-        def run(loader, limit, cache=None):
+        def run(loader, limit, cache=None, depth=None):
             from collections import deque
 
             encode_fn = jax.jit(
@@ -143,10 +143,15 @@ def main():
             np.asarray(toks)  # materialize: block_until_ready is not a
             # reliable sync point on the remote-tunnel TPU platform
 
-            # Steady-state pipeline: keep up to `pipeline_depth` decodes in
+            # Steady-state pipeline: keep up to `depth` decodes in
             # flight so host prep + dispatch + result download all overlap
             # with device decode; time is end-to-end over measured batches
             # (latent-cache misses are encoded inside the timed region).
+            # The baseline pass runs depth=0 — strictly synchronous, one
+            # user at a time, like the reference's per-user generate()
+            # loop (eval_rec.py:100-110 blocks on each result).
+            if depth is None:
+                depth = pipeline_depth
             done = 0
             inflight = deque()
             t0 = time.perf_counter()
@@ -157,7 +162,7 @@ def main():
                     jnp.asarray(batch["seq_len"]), lat,
                 )
                 inflight.append(toks)
-                while len(inflight) > pipeline_depth:
+                while len(inflight) > depth:
                     done += np.asarray(inflight.popleft()).shape[0]
                 if done >= limit:
                     break
@@ -181,8 +186,10 @@ def main():
         log(f"[bench] batched pass 1: {batched_ips:.2f} items/s")
         batched_ips = max(batched_ips, batched_pass())
         log(f"[bench] batched best: {batched_ips:.2f} items/s; baseline ...")
-        baseline_ips = run(make_loader(1, ds), baseline_users)
-        baseline_ips = max(baseline_ips, run(make_loader(1, ds), baseline_users))
+        baseline_ips = run(make_loader(1, ds), baseline_users, depth=0)
+        baseline_ips = max(
+            baseline_ips, run(make_loader(1, ds), baseline_users, depth=0)
+        )
         log(f"[bench] baseline best: {baseline_ips:.2f} items/s")
 
         # decode MFU: analytic model FLOPs per item / measured wall time

@@ -53,7 +53,7 @@ def train_one_epoch(args, trainer, state, loader, epoch, logger, timer):
 
 
 def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
-              split="test", mesh=None):
+              split="test", mesh=None, cache_holder=None):
     """Evaluate `tasks` on `split` with per-rank dumps.
 
     Dump naming follows the reference: rec/search per-user metric JSONs
@@ -81,6 +81,8 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
             and leaves[0].sharding.device_set == want
         ):
             params = jax.device_put(params, param_sharding(params, mesh))
+    if cache_holder is None:
+        cache_holder = {}
     results = {}
     for task in tasks:
         try:
@@ -91,9 +93,13 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
         loader = common.make_loader(args, ds, tokenizer, train=False)
         loader.drop_last = False
         # with a mesh, eval batches are placed sharded over (dp, fsdp)
-        # so the beam decode runs SPMD over local chips
+        # so the beam decode runs SPMD over local chips.
+        # cache_holder shares one ItemLatentCache across every task in
+        # this pass (same params) — the catalog is encoded once, not
+        # once per task
         kwargs = {"mesh": mesh,
-                  "kv_int8": getattr(args, "kv_int8", False)}
+                  "kv_int8": getattr(args, "kv_int8", False),
+                  "cache_holder": cache_holder}
         if task in ("rec", "search"):
             kwargs["num_beams"] = args.num_beams
             # per-rank metric dump, reference naming (eval_rec.py:158)
@@ -267,13 +273,15 @@ def main(argv=None):
                 args, trainer, state, train_loader, epoch, logger, timer
             )
         # reference: separate eval-split and test-split passes per epoch
-        # (mmrec.py:606-608, 775-871)
+        # (mmrec.py:606-608, 775-871); one latent cache serves both
+        # splits (same params, same catalog)
+        epoch_cache = {}
         if args.do_eval:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      split="eval", mesh=mesh)
+                      split="eval", mesh=mesh, cache_holder=epoch_cache)
         if args.do_test:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      split="test", mesh=mesh)
+                      split="test", mesh=mesh, cache_holder=epoch_cache)
         if rank == 0:
             ckpt.save_epoch(save_dir, state.params, epoch)
             ckpt.save_train_state(save_dir, state, epoch)

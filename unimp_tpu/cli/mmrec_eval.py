@@ -102,14 +102,15 @@ def main(argv=None):
     mesh = common.build_mesh(args)
     tasks = [args.task] if args.single_task else None
     results = {}
+    shared_cache = {}  # one latent cache across both splits
     if args.do_eval:
         results["eval"] = run_evals(args, model, params, tokenizer, logger,
                                     epoch=0, tasks=tasks, split="eval",
-                                    mesh=mesh)
+                                    mesh=mesh, cache_holder=shared_cache)
     if args.do_test or not args.do_eval:
         results.update(run_evals(args, model, params, tokenizer, logger,
                                  epoch=0, tasks=tasks, split="test",
-                                 mesh=mesh))
+                                 mesh=mesh, cache_holder=shared_cache))
     if rank == 0:
         out = os.path.join(save_dir, "eval_results.json")
         with open(out, "w") as f:

@@ -128,12 +128,15 @@ def main(argv=None):
         state = train_one_epoch(
             args, trainer, state, train_loader, epoch, logger, timer
         )
+        epoch_cache = {}
         if args.do_eval:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      tasks=[args.task], split="eval", mesh=mesh)
+                      tasks=[args.task], split="eval", mesh=mesh,
+                      cache_holder=epoch_cache)
         if args.do_test:
             run_evals(args, model, state.params, tokenizer, logger, epoch,
-                      tasks=[args.task], split="test", mesh=mesh)
+                      tasks=[args.task], split="test", mesh=mesh,
+                      cache_holder=epoch_cache)
         if rank == 0:
             ckpt.save_epoch(save_dir, state.params, epoch)
     if rank == 0:

@@ -50,7 +50,8 @@ def _answers(tokenizer, tokens: np.ndarray):
     return out
 
 
-def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None):
+def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None,
+                      cache_holder=None):
     """Yield (answers, batch, items_per_sec) over the eval loader.
 
     One generation is kept in flight: batch i+1's host prep (image
@@ -98,11 +99,14 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None):
             method=type(model).encode_vision,
         )
 
-    cache = None
+    # cache_holder: dict shared across evaluator calls within one
+    # run_evals pass (same params) so the catalog is encoded ONCE per
+    # epoch, not once per task x split
+    holder = cache_holder if cache_holder is not None else {}
 
     def batch_latents(batch):
-        nonlocal cache
         if "image_ids" in batch:
+            cache = holder.get("latent_cache")
             if cache is None:
                 from unimp_tpu.evals.latent_cache import ItemLatentCache
 
@@ -110,7 +114,11 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None):
                 cache = ItemLatentCache(
                     model, params, ds.item_image, ds.n_items
                 )
-            return cache.gather(place(batch["image_ids"]))
+                holder["latent_cache"] = cache
+            # host ids drive miss detection; the placed copy keeps the
+            # gather on the mesh (no device->host readback per batch)
+            return cache.gather(batch["image_ids"],
+                                place(batch["image_ids"]))
         return encode(params, place(batch["images"]))
 
     pending = None  # (tokens_device, n_rows, batch, t_start)
@@ -139,7 +147,7 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None):
 
 def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10),
                num_beams=10, dump_path: Optional[str] = None, mesh=None,
-               kv_int8=False):
+               kv_int8=False, cache_holder=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
@@ -148,7 +156,8 @@ def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10
     per_user = []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg, mesh=mesh
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh,
+        cache_holder=cache_holder,
     ):
         throughput.append(ips)
         for row, target in zip(answers, batch["targets"]):
@@ -191,7 +200,7 @@ def evaluate_exp(
     max_new_tokens=256, num_beams=5,
     bertscore_fn: Optional[Callable] = None,
     dump_dir: Optional[str] = None, rank: int = 0, mesh=None,
-    kv_int8=False,
+    kv_int8=False, cache_holder=None,
 ):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
@@ -202,7 +211,8 @@ def evaluate_exp(
     gen_exps, real_exps = [], []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg, mesh=mesh
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh,
+        cache_holder=cache_holder,
     ):
         throughput.append(ips)
         for row, target in zip(answers, batch["targets"]):
@@ -240,7 +250,7 @@ def evaluate_exp(
 
 def evaluate_img_sel(model, params, loader, tokenizer, *,
                      max_new_tokens=40, num_beams=2, mesh=None,
-                     kv_int8=False):
+                     kv_int8=False, cache_holder=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
@@ -249,7 +259,8 @@ def evaluate_img_sel(model, params, loader, tokenizer, *,
     recalls, precisions, f1s = [], [], []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg, mesh=mesh
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh,
+        cache_holder=cache_holder,
     ):
         throughput.append(ips)
         for row, target in zip(answers, batch["targets"]):
@@ -273,7 +284,7 @@ def evaluate_img_sel(model, params, loader, tokenizer, *,
 def evaluate_img_gen(model, params, loader, tokenizer, *,
                      max_new_tokens=600, dump_path: Optional[str] = None,
                      rank: int = 0, epoch: int = 0, run_name: str = "run",
-                     mesh=None, kv_int8=False):
+                     mesh=None, kv_int8=False, cache_holder=None):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=1, num_return_sequences=1,
@@ -282,7 +293,8 @@ def evaluate_img_gen(model, params, loader, tokenizer, *,
     generations = []
     throughput = []
     for answers, batch, ips in _generate_batches(
-        model, params, loader, tokenizer, gen_cfg, mesh=mesh
+        model, params, loader, tokenizer, gen_cfg, mesh=mesh,
+        cache_holder=cache_holder,
     ):
         throughput.append(ips)
         for row, target, extra in zip(

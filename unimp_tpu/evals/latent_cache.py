@@ -86,13 +86,17 @@ class ItemLatentCache:
             self._cache = self._scatter(self._cache, jnp.asarray(pad), lat)
         self._cached[new] = True
 
-    def gather(self, image_ids) -> jax.Array:
+    def gather(self, image_ids, device_ids=None) -> jax.Array:
         """[B, M] item ids -> latents [B, M, L, D] (encoding misses).
 
-        Accepts a device-placed (possibly sharded) id array — the gather
-        then keeps that placement."""
+        image_ids: HOST array (drives miss detection — never pulled back
+        from the device). device_ids: optionally the same ids already
+        placed/sharded on the mesh; the gather keeps that placement.
+        Passing a device array as image_ids still works but costs a
+        device->host readback per batch."""
         ids_np = np.asarray(image_ids)
         self._ensure(ids_np.ravel())
-        dev_ids = (image_ids if hasattr(image_ids, "sharding")
-                   else jnp.asarray(ids_np))
-        return self._take(self._cache, dev_ids)
+        if device_ids is None:
+            device_ids = (image_ids if hasattr(image_ids, "sharding")
+                          else jnp.asarray(ids_np))
+        return self._take(self._cache, device_ids)

@@ -61,12 +61,16 @@ def multi_head_attention(
     mask = mask or AttnMask()
     # Sequence-parallel routing: with an active context, causal
     # self-attention (same q/kv length, no media masks, no ALiBi, no
-    # left-alignment window) runs as ring attention over the mesh.
+    # left-alignment window) runs as ring attention over the mesh —
+    # UNLESS the caller pinned a backend (impl= or UNIMP_ATTN_IMPL),
+    # the documented parity/debug escape hatch.
     from unimp_tpu.parallel.seq_shard import get_sequence_sharding
 
     ctx = get_sequence_sharding()
+    pinned = impl is not None or os.environ.get(_ENV_IMPL)
     if (
-        ctx is not None
+        not pinned
+        and ctx is not None
         and mask.causal
         and mask.q_media is None
         and mask.kv_valid is None

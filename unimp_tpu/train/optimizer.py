@@ -88,11 +88,43 @@ def make_optimizer(
     else:
         adam = _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype)
     return optax.chain(
-        optax.clip_by_global_norm(max_grad_norm),
+        _clip_by_global_norm_f32(max_grad_norm),
         adam,
         optax.add_decayed_weights(weight_decay, mask=decay_mask(params)),
         optax.scale_by_learning_rate(schedule),
     )
+
+
+def _clip_by_global_norm_f32(max_norm: float) -> optax.GradientTransformation:
+    """clip_by_global_norm with the norm ACCUMULATED in f32.
+
+    With --bf16_opt_state the gradient leaves arrive bf16; optax's
+    global_norm sums squares in the leaf dtype, and over ~1e9 elements
+    bf16's 8-bit mantissa makes the norm (hence the clip factor near the
+    threshold) noisy. The per-leaf f32 upcast fuses into the reduction —
+    no f32 gradient copy is materialized."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        import jax
+        import jax.numpy as jnp
+
+        sq = sum(
+            jnp.sum(jnp.square(g.astype(jnp.float32)))
+            for g in jax.tree_util.tree_leaves(updates)
+        )
+        g_norm = jnp.sqrt(sq)
+        scale = jnp.minimum(1.0, max_norm / jnp.maximum(g_norm, 1e-16))
+        updates = jax.tree_util.tree_map(
+            lambda g: (g.astype(jnp.float32) * scale).astype(g.dtype), updates
+        )
+        return updates, state
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 def _scale_by_adam_cast(b1, b2, eps, mu_dtype, nu_dtype):

@@ -124,7 +124,7 @@ class Trainer:
                 rng, ids, vision_x=normalize_on_device(images), q_media=q_media
             )["params"]
 
-        abstract = jax.eval_shape(init_fn, rng, ids, images)
+        abstract = self.abstract_params(sample_batch)
         mask = self.resolve_mask(abstract)
         if self.mesh is None:
             params = init_fn(rng, ids, images)
@@ -175,7 +175,14 @@ class Trainer:
 
     def abstract_params(self, sample_batch):
         """ShapeDtypeStruct param tree via eval_shape — for building
-        optimizer masks / shardings without materializing anything."""
+        optimizer masks / shardings without materializing anything.
+
+        Cached after the first call: the PARAM tree does not depend on
+        the batch shapes, and each eval_shape re-traces the whole
+        vision+LM graph (seconds of host time at 3B scale — the CLIs
+        call this 3x during startup otherwise)."""
+        if getattr(self, "_abstract_cache", None) is not None:
+            return self._abstract_cache
         ids = jnp.asarray(sample_batch["input_ids"])
         images = jnp.asarray(sample_batch["images"])
 
@@ -185,7 +192,10 @@ class Trainer:
                 rng, ids, vision_x=normalize_on_device(images), q_media=q_media
             )["params"]
 
-        return jax.eval_shape(init_fn, jax.random.PRNGKey(0), ids, images)
+        self._abstract_cache = jax.eval_shape(
+            init_fn, jax.random.PRNGKey(0), ids, images
+        )
+        return self._abstract_cache
 
     # ---------------- step ----------------
 
