@@ -50,6 +50,12 @@ def main():
     # bf16 grads + Adam moments: the single-chip memory configuration
     # for 3B-class training (state = 2F + 4T + 3*2T bytes vs 2F + 16T)
     bf16_state = os.environ.get("BENCH_BF16_STATE", "") == "1"
+    # reference launch shape (unimp_task.sh:9-30): bsz 3 x grad-accum 2,
+    # ~256-token prompts with 5-8 images
+    accum = int(os.environ.get("BENCH_ACCUM", "1"))
+    history = int(os.environ.get("BENCH_HISTORY", "5"))
+    fixed_media = int(os.environ.get("BENCH_MEDIA", "5"))
+    seq_shard = os.environ.get("BENCH_SEQ_SHARD", "") == "1"
 
     with tempfile.TemporaryDirectory() as d:
         synth_data.generate(d, n_items=128, n_users=64,
@@ -63,12 +69,19 @@ def main():
         cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 128))
         model = UniMPModel(cfg)
         ds = TaskDataset(d, "beauty", "rec", "train", tok, n_items=128,
-                         history_len=5, image_size=cfg.vision.image_size)
+                         history_len=history, image_size=cfg.vision.image_size)
         dl = DataLoader(ds, batch_size=batch, pad_id=tok.pad_token_id,
                         num_workers=4,
                         pad_to_multiple=int(os.environ.get("BENCH_PAD", "128")),
-                        fixed_media=5)
-        mesh = make_mesh() if len(jax.devices()) > 1 else None
+                        fixed_media=fixed_media)
+        mesh = make_mesh() if (len(jax.devices()) > 1 or seq_shard) else None
+        if seq_shard:
+            # --seq_shard routing (ring attention over the fsdp axis);
+            # on one chip the ring has size 1 — this measures the
+            # routing/shard_map overhead against the flash path
+            from unimp_tpu.parallel import set_sequence_sharding
+
+            set_sequence_sharding(mesh, seq_axis="fsdp", batch_axis="dp")
         from unimp_tpu.train.partition import backbone_trainable_mask
 
         trainer = Trainer(
@@ -95,6 +108,10 @@ def main():
             mu_dtype="bfloat16" if bf16_state else None,
             nu_dtype="bfloat16" if bf16_state else None,
         )
+        if accum > 1:
+            import optax
+
+            trainer.optimizer = optax.MultiSteps(trainer.optimizer, accum)
         state = trainer.init_state(rng, sample)
 
         # warmup/compile (float() materializes; block_until_ready is not
@@ -118,7 +135,7 @@ def main():
     from unimp_tpu.utils.flops import detect_peak_flops, train_step_flops
 
     step_flops = train_step_flops(cfg, batch, int(ids.shape[1]),
-                                  images_per_sample=5,
+                                  images_per_sample=fixed_media,
                                   frozen_backbone=not unfreeze)
     peak = detect_peak_flops()
     flops_per_sec = step_flops * steps / dt
@@ -139,6 +156,9 @@ def main():
         "remat": remat,
         "bf16_state": bf16_state,
         "frozen_int8": frozen_int8,
+        "grad_accum": accum,
+        "images_per_sample": fixed_media,
+        "seq_shard": seq_shard,
     }))
 
 

@@ -314,3 +314,76 @@ def test_loader_bounded_inflight(data_dir, tokenizer):
     assert len(batches) == len(dl)
     # only num_workers(2) batches can *run* concurrently
     assert peak <= 2
+
+
+def test_from_hf_bpe_base_atomic_task_tokens(tmp_path):
+    """Checkpoint-parity tokenizer path (reference mmrec.py:537-595): a
+    real byte-level BPE base loaded via from_hf, extended with the full
+    task-token set — longest-match atomicity must hold on the BPE base
+    exactly as on the hermetic word-level one."""
+    from tokenizers import Tokenizer
+    from tokenizers.models import BPE
+    from tokenizers.trainers import BpeTrainer
+    from tokenizers.pre_tokenizers import ByteLevel
+    from tokenizers.decoders import ByteLevel as ByteLevelDecoder
+
+    corpus = [
+        "the user bought a bright red lipstick and a soft face cream",
+        "what item does the user prefer next? history of purchases",
+        "item description: volumizing mascara, brand lumera, rating five",
+    ] * 4
+    tk = Tokenizer(BPE(unk_token="<unk>"))
+    tk.pre_tokenizer = ByteLevel(add_prefix_space=True)
+    tk.decoder = ByteLevelDecoder()
+    tk.train_from_iterator(
+        corpus, BpeTrainer(vocab_size=300, special_tokens=["<unk>"])
+    )
+    path = str(tmp_path / "bpe_tokenizer.json")
+    tk.save(path)
+
+    tok = UniMPTokenizer.from_hf(path)
+    base = len(tok)
+    n = extend_vocabulary(tok, subset="beauty", use_semantic=True)
+    assert len(tok) == base + n
+
+    # semantic-id answers concatenate with NO separator (rec_dataset.py
+    # :414-417): must segment into exactly the three added tokens
+    ids = tok.encode("item_3item_17item_last_9")
+    assert ids == [
+        tok.convert_tokens_to_ids("item_3"),
+        tok.convert_tokens_to_ids("item_17"),
+        tok.convert_tokens_to_ids("item_last_9"),
+    ]
+    # longest match: item_17 must win over item_1 + "7"
+    assert tok.convert_tokens_to_ids("item_1") not in ids
+
+    # VQGAN tokens keep the trailing comma (mmrec.py:578-581)
+    ids3 = tok.encode("img_789,img_591,")
+    assert ids3 == [
+        tok.convert_tokens_to_ids("img_789,"),
+        tok.convert_tokens_to_ids("img_591,"),
+    ]
+
+    # task tokens embedded in real BPE text keep their boundaries
+    sent = "the user bought item_12 and rated it rate_5"
+    ids4 = tok.encode(sent)
+    assert tok.convert_tokens_to_ids("item_12") in ids4
+    assert tok.convert_tokens_to_ids("rate_5") in ids4
+    decoded = tok.decode(ids4)
+    assert "item_12" in decoded and "rate_5" in decoded
+    assert "bought" in decoded  # BPE merges reconstructed by the decoder
+
+    # eval answer protocol: text after "?" (eval_rec.py:111-125)
+    q = tok.encode("what does the user prefer next?item_7")
+    assert tok.decode(q).split("?")[-1].replace(" ", "") == "item_7"
+
+    # core specials resolve even though the BPE base lacked them
+    assert tok.pad_token_id is not None and tok.eos_token_id is not None
+    assert tok.media_token_id is not None
+
+    # save/load round-trips the subword decode behavior
+    p2 = str(tmp_path / "saved.json")
+    tok.save(p2)
+    tok2 = UniMPTokenizer.load(p2)
+    assert tok2.encode("item_3item_17item_last_9") == ids
+    assert tok2.decode(ids4) == decoded

@@ -227,3 +227,54 @@ def test_mesh_sharded_eval_matches_unsharded(tmp_path):
     assert m_mesh["n_users"] == 5
     for k in ("hr@3", "hr@5", "hr@10", "ndcg@10", "mrr@10", "n_users"):
         assert m_plain[k] == m_mesh[k], k
+
+
+def test_bertscore_greedy_match_math():
+    from unimp_tpu.evals.bertscore import greedy_match_scores
+
+    rng = np.random.default_rng(0)
+    emb = rng.normal(size=(1, 5, 16))
+    mask = np.ones((1, 5), bool)
+    p, r, f1 = greedy_match_scores(emb, mask, emb, mask)
+    assert f1[0] == pytest.approx(1.0)  # identical -> perfect
+    # disjoint one-hot embeddings -> zero cosine overlap
+    a = np.eye(4)[None, :, :]
+    b = np.roll(np.eye(4), 2, axis=1)[None, :, :]  # overlaps 2 of 4 dims
+    m = np.ones((1, 4), bool)
+    _, _, f_part = greedy_match_scores(a, m, b, m)
+    assert f_part[0] == pytest.approx(1.0)  # same basis set, permuted
+    c = np.concatenate([np.zeros((1, 4, 4)), np.eye(4)[None]], axis=-1)
+    _, _, f_zero = greedy_match_scores(a, m, c[..., :4], m)
+    assert f_zero[0] < 0.01
+    # padding rows must not contribute
+    mask2 = np.array([[True, True, False, False]])
+    _, _, f_pad = greedy_match_scores(a, mask2, a, mask2)
+    assert f_pad[0] == pytest.approx(1.0)
+
+
+def test_model_bertscore_scorer(tmp_path):
+    """Hermetic --eval_embed scorer: model text tower as the encoder
+    (reference eval_exp.py:63-67 uses hub RoBERTa; here zero egress)."""
+    from unimp_tpu.evals.bertscore import make_model_bertscore
+    from unimp_tpu.models import UniMPModel, get_config
+    from unimp_tpu.tools import synth_data
+
+    d = str(tmp_path)
+    synth_data.generate(d, n_items=16, n_users=4, image_size=28)
+    tok = synth_data.build_tokenizer(d, n_items=16)
+    cfg = get_config("debug", dtype="float32")
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 8))
+    model = UniMPModel(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0), jnp.ones((1, 8), jnp.int32)
+    )["params"]
+
+    score = make_model_bertscore(model, params, tok, max_len=16, batch_size=2)
+    cands = ["good quality cream", "item_1 item_2", "bad"]
+    refs = ["good quality cream", "item_1 item_2", "nice serum smell"]
+    f1 = score(cands, refs)
+    assert f1.shape == (3,)
+    assert f1[0] == pytest.approx(1.0, abs=1e-6)  # identical text
+    assert f1[1] == pytest.approx(1.0, abs=1e-6)
+    assert f1[2] < f1[0]
+    assert score([], []).shape == (0,)

@@ -134,3 +134,66 @@ def test_instruct_dataset(tiny_model, tmp_path):
     rows0, rows1 = list(f0), list(f1)
     assert len(rows0) == 5 and len(rows1) == 5
     assert rows0[0] == ["0", "col0"] and rows1[0] == ["1", "col1"]
+
+
+def test_evaluate_cli_smoke(tiny_model, tmp_path):
+    """Argparse harness entry (reference evaluate.py:168): checkpoint +
+    tokenizer on disk -> all three benchmark switches -> results JSON."""
+    import dataclasses as dc
+
+    import jax.numpy as jnp
+
+    from unimp_tpu.cli.evaluate import main
+    from unimp_tpu.models import UniMPModel, compute_q_media, get_config
+    from unimp_tpu.train.checkpoint import save_params
+
+    d, tok, _, _, _ = tiny_model
+    # params must match what the CLI builds: debug variant, vocab padded
+    # to the 128 multiple, image_size from the flag
+    cfg = get_config("debug", dtype="float32")
+    vocab = ((len(tok) + 127) // 128) * 128
+    cfg = cfg.replace(lm=dc.replace(cfg.lm, vocab_size=vocab))
+    model = UniMPModel(cfg)
+    ids = jnp.ones((1, 8), jnp.int32).at[0, 1].set(tok.media_token_id)
+    img = cfg.vision.image_size
+    params = model.init(
+        jax.random.PRNGKey(0), ids,
+        vision_x=jnp.zeros((1, 1, img, img, 3), jnp.float32),
+        q_media=compute_q_media(ids, tok.media_token_id),
+    )["params"]
+    ckpt_dir = str(tmp_path / "ckpt")
+    save_params(ckpt_dir, params, name="final_weights")
+    tok_path = str(tmp_path / "tok.json")
+    tok.save(tok_path)
+
+    img_dir = os.path.join(d, "beauty")
+    images = [os.path.join(img_dir, f"{i}.jpg") for i in range(3)]
+    cap = str(tmp_path / "cap.json")
+    json.dump([{"image": p, "captions": ["soft cream"]} for p in images],
+              open(cap, "w"))
+    vqa = str(tmp_path / "vqa.json")
+    json.dump([{"image": p, "question": "what is it",
+                "answers": ["cream"] * 10} for p in images], open(vqa, "w"))
+    cls = str(tmp_path / "cls.json")
+    json.dump([{"image": images[0], "label": 0}], open(cls, "w"))
+    cls_names = str(tmp_path / "classes.json")
+    json.dump(["cream", "serum"], open(cls_names, "w"))
+    results_file = str(tmp_path / "results.json")
+
+    results = main([
+        "--checkpoint_dir", ckpt_dir,
+        "--tokenizer_path", tok_path,
+        "--variant", "debug", "--precision", "fp32",
+        "--image_size", str(img),
+        "--shots", "0", "--trial_seeds", "7", "--num_samples", "2",
+        "--eval_coco", "--coco_manifest", cap,
+        "--eval_vqa", "--vqa_manifest", vqa,
+        "--eval_imagenet", "--imagenet_manifest", cls,
+        "--imagenet_classes", cls_names,
+        "--results_file", results_file,
+    ])
+    assert "coco_cider_shots_0" in results
+    assert 0.0 <= results["vqa_accuracy_shots_0"] <= 1.0
+    assert "imagenet_top1" in results
+    on_disk = json.load(open(results_file))
+    assert on_disk == results

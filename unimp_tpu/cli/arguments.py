@@ -55,6 +55,9 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--weight_decay", default=0.1, type=float)
     p.add_argument("--do_eval", default=False, action="store_true")
     p.add_argument("--do_test", default=False, action="store_true")
+    p.add_argument("--eval_embed", default=False, action="store_true",
+                   help="exp eval: add the hermetic embedding BERTScore "
+                        "(reference eval_exp.py:63-67 --eval_embed)")
     p.add_argument("--precision", default="bf16", type=str,
                    choices=["bf16", "fp32", "amp_bf16", "amp_bfloat16", "amp", "fp16"])
     p.add_argument("--workers", type=int, default=4)
@@ -83,6 +86,10 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--train_method", type=str, default="multi_task",
                    help="multi_task | continue (curriculum)")
     p.add_argument("--report_to_wandb", default=False, action="store_true")
+    p.add_argument("--save_checkpoints_to_wandb", default=False,
+                   action="store_true",
+                   help="upload final weights as a wandb artifact "
+                        "(reference mmrec.py:893-894)")
     p.add_argument("--wandb_project", type=str, default=None)
     p.add_argument("--wandb_entity", type=str, default=None)
     # live data flags (arguments.py:302-360)

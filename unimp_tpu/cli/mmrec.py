@@ -110,6 +110,12 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
         elif task == "exp":
             kwargs["dump_dir"] = os.path.join(run_dir, "save_gen")
             kwargs["rank"] = rank
+            if getattr(args, "eval_embed", False):
+                from unimp_tpu.evals.bertscore import make_model_bertscore
+
+                kwargs["bertscore_fn"] = make_model_bertscore(
+                    model, params, tokenizer
+                )
         elif task == "img_gen":
             kwargs["dump_path"] = os.path.join(
                 run_dir, "save_img_gen",
@@ -123,7 +129,7 @@ def run_evals(args, model, params, tokenizer, logger, epoch, tasks=None,
             line = " \n".join(
                 f"{k}: {metrics[k]}"
                 for k in ("rmse", "mae", "bleu", "rouge1", "rouge2",
-                          "rougeL", "meteor") if k in metrics
+                          "rougeL", "meteor", "bertscore") if k in metrics
             )
             with open(os.path.join(run_dir, "results_exp.txt"), "a+") as f:
                 f.write(line + "\n\n")
@@ -293,6 +299,11 @@ def main(argv=None):
                     shutil.rmtree(prev)
     if rank == 0:
         ckpt.save_params(save_dir, state.params, "final_weights")
+        if getattr(args, "save_checkpoints_to_wandb", False):
+            logger.log_artifact(
+                os.path.join(save_dir, "final_weights"),
+                name=f"{args.run_name}_final_weights",
+            )
         if args.save_hf_model:
             from unimp_tpu.cli.arguments import variant_name
             from unimp_tpu.models import get_config

@@ -41,6 +41,17 @@ class UniMPTokenizer:
     def __init__(self, tk: Tokenizer):
         self._tk = tk
         self._special = {PAD, UNK, BOS, EOS, MEDIA_TOKEN, ENDOFCHUNK_TOKEN}
+        # decode strategy follows the underlying model: WordLevel joins
+        # tokens with spaces; subword models (BPE/Unigram/WordPiece from
+        # a pretrained tokenizer.json) use the Rust decoder so merges and
+        # byte-level prefixes reconstruct the original text. Detected
+        # here (not flagged at construction) so save()/load() round-trips
+        # keep the right behavior.
+        try:
+            model_type = json.loads(tk.to_str()).get("model", {}).get("type")
+        except Exception:
+            model_type = "WordLevel"
+        self._wordlevel = model_type == "WordLevel"
 
     # ---------------- construction ----------------
 
@@ -75,9 +86,23 @@ class UniMPTokenizer:
 
     @classmethod
     def from_hf(cls, tokenizer_json_path: str) -> "UniMPTokenizer":
-        """Wrap a locally-available pretrained tokenizer.json."""
+        """Wrap a locally-available pretrained tokenizer.json (the
+        checkpoint-parity path: a real BPE/sentencepiece base extended
+        with thousands of atomic task tokens, reference
+        mmrec.py:537-595). Framework-standard special tokens that the
+        pretrained vocab lacks are ADDED (never silently aliased), so
+        pad/bos/eos/media lookups always resolve."""
         tk = Tokenizer.from_file(tokenizer_json_path)
-        return cls(tk)
+        obj = cls(tk)
+        missing = [
+            AddedToken(t, normalized=False, special=True)
+            for t in (PAD, UNK, BOS, EOS)
+            if tk.token_to_id(t) is None
+        ]
+        if missing:
+            tk.add_special_tokens(missing)
+        obj._add_core_specials()
+        return obj
 
     def _add_core_specials(self):
         self._tk.add_special_tokens(
@@ -132,6 +157,13 @@ class UniMPTokenizer:
         return ids
 
     def decode(self, ids: Sequence[int], skip_special_tokens: bool = True) -> str:
+        if not self._wordlevel:
+            # subword base: Rust decoder reconstructs text (added tokens
+            # are emitted verbatim and adjacent, matching the reference's
+            # "item_3item_17" semantic-id answer strings)
+            return self._tk.decode(
+                [int(i) for i in ids], skip_special_tokens=skip_special_tokens
+            )
         toks = []
         for i in ids:
             t = self._tk.id_to_token(int(i))

@@ -89,11 +89,65 @@ def left_align(input_ids, seq_len, pad_id):
 class Generator:
     """Compiled generate() over a UniMPModel (or API-compatible model)."""
 
-    def __init__(self, model, gen_cfg: GenerationConfig, media_id: int):
+    def __init__(self, model, gen_cfg: GenerationConfig, media_id: int,
+                 mesh=None):
         self.model = model
         self.cfg = gen_cfg
         self.media_id = media_id
+        # With a mesh, every decode-state tensor (prompt/gen KV caches,
+        # ancestry, beam bookkeeping) is pinned row-sharded over
+        # (dp, fsdp) via sharding constraints so the SPMD partitioner
+        # never has to guess a layout for the freshly created gen caches
+        # (a wrong guess forces involuntary full rematerialization at
+        # every decode step on real multi-chip).
+        self.mesh = mesh
         self._fn = None
+
+    def _pin(self, a, spec_for_rank):
+        """with_sharding_constraint by rank; head ('tp') axes degrade to
+        replicated when the dim isn't divisible by the tp extent."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = spec_for_rank.get(a.ndim)
+        if spec is None:
+            return a
+        tp = self.mesh.shape.get("tp", 1)
+        fixed = tuple(
+            None if ax == "tp" and a.shape[i] % tp != 0 else ax
+            for i, ax in enumerate(spec)
+        )
+        return jax.lax.with_sharding_constraint(
+            a, NamedSharding(self.mesh, P(*fixed))
+        )
+
+    # Decode-state layout contract (keeps every program/loop boundary
+    # reshard-free): batch/beam rows ride the data axes (dp, fsdp) and
+    # KV-head axes ride tp — exactly what the tp-sharded k/v projections
+    # produce, so the partitioner never falls back to involuntary full
+    # rematerialization of the caches.
+    _ROWS = ("dp", "fsdp")
+
+    def _rows(self, tree):
+        """Prompt-side state: rank keys [B], [B,S], [B,S,H], [B,S,H,D]."""
+        if self.mesh is None:
+            return tree
+        r = self._ROWS
+        spec = {1: (r,), 2: (r, None), 3: (r, None, "tp"),
+                4: (r, None, "tp", None)}
+        return jax.tree.map(
+            lambda a: self._pin(a, spec) if hasattr(a, "ndim") else a, tree
+        )
+
+    def _rows_gen(self, caches):
+        """Gen-KV caches: [2, B*, g, H] scales and [2, B*, g, H, D] kv —
+        rows live on axis 1 (K and V are stacked on axis 0)."""
+        if self.mesh is None:
+            return caches
+        r = self._ROWS
+        spec = {4: (None, r, None, "tp"), 5: (None, r, None, "tp", None)}
+        return jax.tree.map(
+            lambda a: self._pin(a, spec) if hasattr(a, "ndim") else a, caches
+        )
 
     # -------------------------------------------------- public
 
@@ -150,13 +204,13 @@ class Generator:
         if cfg.kv_int8:
             self_kv = [quantize_kv_cache(c) for c in self_kv]
             xattn_kv = [quantize_kv_cache(c) for c in xattn_kv]
-        state = {
+        state = self._rows({
             "self": self_kv,
             "xattn": xattn_kv,
             "kv_start": start,
             "n_media": n_media,
             "kv_media": kv_media,
-        }
+        })
         if k == 1:
             return self._greedy_loop(params, last_logits, state, start, t, rng)
         return self._beam_loop(params, last_logits, state, start, t, seq_len)
@@ -186,7 +240,9 @@ class Generator:
         cfg = self.cfg
         b = last_logits.shape[0]
         max_new = cfg.max_new_tokens
-        gen0 = self.model.init_gen_caches(b, max_new, quantized=cfg.kv_int8)
+        gen0 = self._rows_gen(
+            self.model.init_gen_caches(b, max_new, quantized=cfg.kv_int8)
+        )
         sampling = cfg.temperature > 0.0
 
         def cond(carry):
@@ -230,10 +286,12 @@ class Generator:
         lp = cfg.length_penalty
 
         start_k = jnp.repeat(start, k, axis=0)  # positions only
-        gen0 = self.model.init_gen_caches(b * k, max_new, quantized=cfg.kv_int8)
+        gen0 = self._rows_gen(
+            self.model.init_gen_caches(b * k, max_new, quantized=cfg.kv_int8)
+        )
         # beam-ancestry table: anc[bk, g] = GLOBAL cache row holding beam
         # bk's KV for generated position g (caches are never reordered)
-        anc0 = jnp.zeros((b * k, max_new), jnp.int32)
+        anc0 = self._rows(jnp.zeros((b * k, max_new), jnp.int32))
 
         alive_tok = jnp.full((b, k, max_new), cfg.pad_id, jnp.int32)
         alive_scores = jnp.concatenate(

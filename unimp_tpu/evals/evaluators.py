@@ -70,7 +70,8 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None,
     by repeating the last user up to the shard multiple; the padded
     rows' answers are dropped before metrics).
     """
-    gen = Generator(model, gen_cfg, media_id=tokenizer.media_token_id)
+    gen = Generator(model, gen_cfg, media_id=tokenizer.media_token_id,
+                    mesh=mesh)
     import jax
 
     rows_mult = 1

@@ -183,6 +183,7 @@ class UniMPModel(nn.Module):
         positions: Optional[jax.Array] = None,
         return_kv: bool = False,
         last_logit_only: bool = False,
+        return_hidden: bool = False,
         decode_state: Optional[dict] = None,
     ):
         """Full forward, prefill, or single-token decode (see module doc).
@@ -278,6 +279,11 @@ class UniMPModel(nn.Module):
                     causal=causal, return_cache=return_kv,
                 )
             self_caches.append(sc)
+        if return_hidden:
+            # contextual token embeddings (final-norm hidden states, no
+            # lm-head) — the text tower doubles as the hermetic
+            # BERTScore encoder (evals/bertscore.py)
+            return self.final_ln(x), None
         if last_logit_only:
             # prefill for generation: only the last position's logits are
             # consumed — skip the [T, V] lm-head matmul for the rest.

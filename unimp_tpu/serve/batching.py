@@ -1,0 +1,273 @@
+"""Server-side batched streaming decode (continuous-batching lite).
+
+The reference worker decodes every request independently on its own
+thread (model_worker.py:205-267 + a concurrency semaphore), and round-2
+serving measurements showed the same design here is dispatch-bound over
+the device tunnel: one device program per token PER REQUEST. This engine
+batches concurrent streams into ONE device program per token:
+
+  * requests are collected into a WAVE (up to ``max_slots``, waiting at
+    most ``wave_window_ms`` after the first arrival — TTFT cost is
+    bounded and tiny next to prefill)
+  * the wave's prompts are left-aligned into one bucketed window (the
+    same layout the batched eval sampler uses, decode/sampler.py) and
+    prefilled in one program
+  * the decode loop then runs lockstep: one jitted step per token for
+    ALL active rows, each row's text streamed to its consumer queue;
+    rows retire on EOS / their own max_new, the wave ends when all do
+
+Per-row sampling parameters are data, not trace constants: temperature
+is a [S] array (0 = argmax) so mixed greedy/sampled requests share one
+compiled step. Compiled shapes are cached by (slots, prompt-bucket,
+media-bucket, max_new) so steady-state traffic reuses one executable.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from typing import Optional
+
+import numpy as np
+
+_END = object()
+
+
+class _Request:
+    def __init__(self, params, prompt_ids, vision, max_new, temperature, seed):
+        self.params = params
+        self.prompt_ids = prompt_ids
+        self.vision = vision  # [M, H, W, 3] float or None
+        self.max_new = max_new
+        self.temperature = temperature
+        self.seed = seed
+        self.out: "queue.Queue" = queue.Queue()
+
+
+class BatchedStreamingEngine:
+    def __init__(self, model, tokenizer, *, max_slots: int = 4,
+                 max_new_tokens: int = 256, wave_window_ms: float = 30.0,
+                 prompt_bucket: int = 64):
+        self.model = model
+        self.tok = tokenizer
+        self.max_slots = max_slots
+        self.max_new = max_new_tokens
+        self.window = wave_window_ms / 1000.0
+        self.prompt_bucket = prompt_bucket
+        self._inbox: "queue.Queue" = queue.Queue()
+        self._fns = {}
+        self._encode_fn = None
+        self._thread = None
+        self._stop = threading.Event()
+        self._lock = threading.Lock()
+
+    # ---------------- public ----------------
+
+    def start(self):
+        with self._lock:
+            if self._thread is None:
+                self._thread = threading.Thread(
+                    target=self._loop, daemon=True
+                )
+                self._thread.start()
+
+    def stop(self):
+        self._stop.set()
+        self._inbox.put(None)
+
+    def queue_depth(self) -> int:
+        return self._inbox.qsize()
+
+    def stream(self, params, prompt: str, vision_x=None,
+               temperature: float = 0.0,
+               max_new_tokens: Optional[int] = None, seed: int = 0):
+        """Iterator of accumulated generation text (same surface as
+        StreamingGenerator.stream) — but served from the shared wave."""
+        self.start()
+        ids = self.tok.encode(prompt, add_bos=True)
+        vision = None
+        if vision_x is not None:
+            vision = np.asarray(vision_x)
+            if vision.ndim == 5:  # [1, M, H, W, 3] -> [M, H, W, 3]
+                vision = vision[0]
+        req = _Request(params, ids, vision,
+                       int(max_new_tokens or self.max_new),
+                       float(temperature), seed)
+        self._inbox.put(req)
+        while True:
+            item = req.out.get()
+            if item is _END:
+                return
+            yield item
+
+    # ---------------- wave formation ----------------
+
+    def _loop(self):
+        while not self._stop.is_set():
+            first = self._inbox.get()
+            if first is None:
+                continue
+            reqs = [first]
+            deadline = time.monotonic() + self.window
+            while len(reqs) < self.max_slots:
+                left = deadline - time.monotonic()
+                if left <= 0:
+                    break
+                try:
+                    nxt = self._inbox.get(timeout=left)
+                except queue.Empty:
+                    break
+                if nxt is not None:
+                    reqs.append(nxt)
+            try:
+                self._run_wave(reqs)
+            except Exception as e:  # pragma: no cover - defensive
+                for r in reqs:
+                    r.out.put(f"[engine error: {e}]")
+                    r.out.put(_END)
+
+    # ---------------- compiled programs ----------------
+
+    def _build(self, key):
+        import jax
+        import jax.numpy as jnp
+
+        model = self.model
+
+        @jax.jit
+        def prefill(params, ids, kv_start, positions, latents, q_media):
+            from unimp_tpu.models.flamingo import UniMPModel
+
+            kv_media = n_media = None
+            if latents is not None:
+                kv_media = UniMPModel.kv_media_for(latents)
+                n_media = q_media[:, -1]
+            logits, kv = model.apply(
+                {"params": params}, ids, latents=latents, q_media=q_media,
+                kv_start=kv_start, positions=positions, return_kv=True,
+                last_logit_only=True,
+            )
+            state = {
+                "self": kv["self"],
+                "xattn": kv.get("xattn", []),
+                "kv_start": kv_start,
+                "n_media": n_media,
+                "kv_media": kv_media,
+            }
+            return logits[:, -1], state
+
+        @jax.jit
+        def step(params, tokens, state, gen, step_idx, positions):
+            ds = dict(state, gen=gen, step=step_idx, gen_index=None)
+            logits, gen = model.apply(
+                {"params": params}, tokens, positions=positions,
+                decode_state=ds,
+            )
+            return logits[:, 0], gen
+
+        @jax.jit
+        def choose(logits, temps, rng):
+            # per-row temperature: 0 = argmax, else categorical sample
+            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+            scaled = logits / jnp.maximum(temps[:, None], 1e-6)
+            keys = jax.random.split(rng, logits.shape[0])
+            sampled = jax.vmap(
+                lambda k, l: jax.random.categorical(k, l)
+            )(keys, scaled).astype(jnp.int32)
+            return jnp.where(temps > 0, sampled, greedy)
+
+        self._fns[key] = (prefill, step, choose)
+        return self._fns[key]
+
+    # ---------------- the wave ----------------
+
+    def _run_wave(self, reqs):
+        import jax
+        import jax.numpy as jnp
+
+        from unimp_tpu.models.flamingo import compute_q_media
+
+        tok = self.tok
+        params = reqs[0].params  # one model per worker
+        s = self.max_slots
+        n = len(reqs)
+        pad_id = tok.pad_token_id
+
+        t_max = max(len(r.prompt_ids) for r in reqs)
+        t = -(-t_max // self.prompt_bucket) * self.prompt_bucket
+        m = max((0 if r.vision is None else r.vision.shape[0] for r in reqs),
+                default=0)
+        g = max(r.max_new for r in reqs)
+
+        # left-aligned prompt window (suffix-aligned, like the sampler)
+        ids = np.full((s, t), pad_id, np.int32)
+        kv_start = np.full((s,), t, np.int32)
+        for i, r in enumerate(reqs):
+            ln = len(r.prompt_ids)
+            ids[i, t - ln:] = r.prompt_ids
+            kv_start[i] = t - ln
+        positions = np.maximum(
+            np.arange(t, dtype=np.int32)[None, :] - kv_start[:, None], 0
+        )
+        temps = np.zeros((s,), np.float32)
+        for i, r in enumerate(reqs):
+            temps[i] = r.temperature
+
+        latents = q_media = None
+        if m > 0:
+            img = None
+            for r in reqs:
+                if r.vision is not None:
+                    img = r.vision.shape[1:]
+                    break
+            vision = np.zeros((s, m) + img, np.float32)
+            for i, r in enumerate(reqs):
+                if r.vision is not None:
+                    vision[i, : r.vision.shape[0]] = r.vision
+            if self._encode_fn is None:
+                self._encode_fn = jax.jit(
+                    lambda p, v: self.model.apply(
+                        {"params": p}, v, method=type(self.model).encode_vision
+                    )
+                )
+            latents = self._encode_fn(params, jnp.asarray(vision))
+            q_media = compute_q_media(jnp.asarray(ids), tok.media_token_id)
+
+        key = (s, t, m, g)
+        prefill, step, choose = self._fns.get(key) or self._build(key)
+
+        logits, state = prefill(
+            params, jnp.asarray(ids), jnp.asarray(kv_start),
+            jnp.asarray(positions), latents, q_media,
+        )
+        gen = self.model.init_gen_caches(s, g)
+        rng = jax.random.PRNGKey(reqs[0].seed)
+        temps_d = jnp.asarray(temps)
+
+        out_ids = [[] for _ in range(s)]
+        done = [i >= n for i in range(s)]
+        for i in range(g):
+            rng, sub = jax.random.split(rng)
+            nxt = np.asarray(choose(logits, temps_d, sub))
+            for j, r in enumerate(reqs):
+                if done[j]:
+                    continue
+                token = int(nxt[j])
+                if token == tok.eos_token_id or len(out_ids[j]) >= r.max_new:
+                    done[j] = True
+                    r.out.put(_END)
+                    continue
+                out_ids[j].append(token)
+                r.out.put(tok.decode(out_ids[j]))
+            if all(done):
+                break
+            nxt = np.where(done, pad_id, nxt).astype(np.int32)
+            pos = (t + i - kv_start)[:, None]
+            logits, gen = step(
+                params, jnp.asarray(nxt[:, None]), state, gen,
+                jnp.int32(i), jnp.asarray(pos),
+            )
+        for j, r in enumerate(reqs):
+            if not done[j]:
+                r.out.put(_END)

@@ -40,6 +40,7 @@ class ModelWorker:
         limit_concurrency: int = 2,
         image_size: int = 224,
         max_new_tokens: int = 256,
+        batched: bool = True,
     ):
         from unimp_tpu.decode.streaming import StreamingGenerator
 
@@ -52,7 +53,21 @@ class ModelWorker:
         self.controller_addr = controller_addr
         self.semaphore = threading.Semaphore(limit_concurrency)
         self.image_size = image_size
-        self.streamer = StreamingGenerator(model, tokenizer, max_new_tokens)
+        # batched (default): concurrent streams share ONE device program
+        # per token (serve/batching.py) instead of one program per token
+        # per request — the reference's per-request generate threads
+        # (model_worker.py:205-267) can't batch at all.
+        self.streamer = None
+        self.engine = None
+        if batched:
+            from unimp_tpu.serve.batching import BatchedStreamingEngine
+
+            self.engine = BatchedStreamingEngine(
+                model, tokenizer, max_slots=max(limit_concurrency, 1),
+                max_new_tokens=max_new_tokens,
+            )
+        else:
+            self.streamer = StreamingGenerator(model, tokenizer, max_new_tokens)
         self._queue = 0
         self._lock = threading.Lock()
 
@@ -127,7 +142,8 @@ class ModelWorker:
             if req.get("images"):
                 vision = self._decode_images(req["images"])
             text = ""
-            for text in self.streamer.stream(
+            src = self.engine if self.engine is not None else self.streamer
+            for text in src.stream(
                 self.params,
                 prompt,
                 vision_x=vision,
@@ -210,6 +226,8 @@ def main(argv=None):
     p.add_argument("--controller-address", default=None)
     p.add_argument("--worker-address", default=None)
     p.add_argument("--limit-model-concurrency", type=int, default=2)
+    p.add_argument("--no-batched-streaming", action="store_true",
+                   help="fall back to one decode program per request")
     args = p.parse_args(argv)
 
     tokenizer = common.build_tokenizer(args)
@@ -238,6 +256,7 @@ def main(argv=None):
         controller_addr=args.controller_address,
         limit_concurrency=args.limit_model_concurrency,
         image_size=args.patch_image_size,
+        batched=not args.no_batched_streaming,
     )
     serve(worker, args.host, args.port)
 

@@ -71,3 +71,19 @@ class MetricLogger:
     def print(self, msg: str):
         if self.rank == 0:
             print(msg, flush=True)
+
+    def log_artifact(self, path: str, name: str, type: str = "checkpoint"):
+        """Upload a checkpoint dir/file as a wandb artifact (reference
+        uploads final weights when save_checkpoints_to_wandb,
+        /root/reference/UniMP/mmrec.py:893-894). No-op without wandb."""
+        if self.rank != 0 or self._wandb is None:
+            return
+        try:
+            art = self._wandb.Artifact(name, type=type)
+            if os.path.isdir(path):
+                art.add_dir(path)
+            else:
+                art.add_file(path)
+            self._wandb.log_artifact(art)
+        except Exception as e:
+            print(f"[logging] wandb artifact upload failed ({e})")
