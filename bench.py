@@ -244,13 +244,24 @@ def flagship_fields():
     if best is None:
         return {}
     name, rec = best
-    return {
+    out = {
         "flagship_variant": rec.get("variant"),
         "flagship_items_per_sec": rec.get("value"),
         "flagship_mfu": rec.get("mfu"),
         "flagship_params": rec.get("params"),
         "flagship_record": name,
     }
+    try:
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "benchmarks", "records",
+                               "serve_small_v5e.json")) as f:
+            srv = json.load(f)
+        out["serve_tokens_per_sec"] = srv.get("value")
+        out["serve_speedup_vs_per_request"] = srv.get(
+            "speedup_vs_per_request")
+    except Exception:
+        pass
+    return out
 
 
 if __name__ == "__main__":

@@ -1,0 +1,420 @@
+"""Decode-step bandwidth accounting at flagship (4b) shapes.
+
+Round-2 review: the 4b beam-decode step ran at ~340 GiB/s effective
+against a v5e's ~819 GB/s spec sheet, with no attribution of the other
+60%. This tool measures each term of the step ON THE CHIP so the gap is
+explained with data, not spec sheets:
+
+  read_floor    pure HBM stream: sum-reduce every param leaf — the
+                bandwidth THIS chip actually achieves on a pure
+                sequential read through one program
+  dispatch      empty-program round trip (tunnel RTT + launch)
+  step_full     one decode step (all layers + lm head), jitted alone
+  step_nohead   the same step with return-hidden (no [BK, V] logits
+                matmul) — isolates the lm-head term
+  attn_only     the 32 decode_attention calls on the live caches —
+                isolates the KV-read term
+  loop_step     the per-step time inside the real 50-step while_loop
+                (amortizes dispatch; the number the eval throughput
+                actually sees)
+
+Env: BENCH_VARIANT (default 4b), BENCH_BATCH (16), BENCH_BEAMS (10),
+BENCH_MAX_NEW (50), BENCH_PROMPT (media prompt from the synth set).
+Prints one JSON line with every term in ms plus derived GB/s.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys_path_root = str(__import__("pathlib").Path(__file__).resolve().parent.parent)
+if sys_path_root not in sys.path:
+    sys.path.insert(0, sys_path_root)
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def timed(fn, *args, reps=10, sync=None):
+    """Median wall time of fn(*args); sync materializes the output."""
+    import numpy as np
+
+    times = []
+    out = fn(*args)
+    (sync or (lambda o: np.asarray(jax_leaf(o))))(out)  # compile+warm
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        out = fn(*args)
+        (sync or (lambda o: np.asarray(jax_leaf(o))))(out)
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+def attempt(label, fn):
+    """Run a profile section; a tunnel/compile failure costs the term,
+    not the run (the remote_compile endpoint drops long compiles)."""
+    try:
+        return fn()
+    except Exception as e:
+        log(f"[profile] {label} FAILED: {type(e).__name__}: {e}")
+        return None
+
+
+def jax_leaf(tree):
+    import jax
+
+    leaves = [x for x in jax.tree.leaves(tree) if hasattr(x, "shape")]
+    return leaves[0]
+
+
+def tree_bytes(tree):
+    import jax
+
+    return sum(x.size * x.dtype.itemsize for x in jax.tree.leaves(tree)
+               if hasattr(x, "dtype"))
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from unimp_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    from unimp_tpu.data.dataset import TaskDataset
+    from unimp_tpu.data.loader import DataLoader
+    from unimp_tpu.decode import GenerationConfig, Generator
+    from unimp_tpu.models import UniMPModel, compute_q_media, get_config
+    from unimp_tpu.tools import synth_data
+    from unimp_tpu.utils.inference import cast_params_for_inference
+
+    variant = os.environ.get("BENCH_VARIANT", "4b")
+    batch = int(os.environ.get("BENCH_BATCH", "16"))
+    beams = int(os.environ.get("BENCH_BEAMS", "10"))
+    max_new = int(os.environ.get("BENCH_MAX_NEW", "50"))
+
+    with tempfile.TemporaryDirectory() as d:
+        synth_data.generate(d, n_items=256, n_users=max(batch * 2, 64),
+                            image_size=64)
+        tok = synth_data.build_tokenizer(d, n_items=256)
+        cfg = get_config(variant)
+        cfg = cfg.replace(
+            lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 128)
+        )
+        model = UniMPModel(cfg)
+        ds = TaskDataset(d, "beauty", "rec", "test", tok, n_items=256,
+                         history_len=5, image_size=cfg.vision.image_size)
+        if len(ds) < batch:  # test split may be thin; replicate users
+            reps = (batch + len(ds) - 1) // len(ds)
+            ds.records = (ds.records * reps)[:batch]
+            ds.tasks = (ds.tasks * reps)[:batch]
+        dl = DataLoader(ds, batch_size=batch, pad_id=tok.pad_token_id,
+                        shuffle=False, num_workers=2, pad_to_multiple=128,
+                        fixed_media=4, drop_last=True)
+        probe = next(iter(dl))
+        ids = jnp.asarray(probe["input_ids"])
+        t = int(ids.shape[1])
+        from unimp_tpu.data.transforms import normalize_on_device
+
+        log(f"[profile] init {variant} ...")
+        params = jax.jit(
+            lambda r: cast_params_for_inference(model.init(
+                r, ids,
+                vision_x=normalize_on_device(jnp.asarray(probe["images"])),
+                q_media=compute_q_media(ids, tok.media_token_id),
+            )["params"])
+        )(jax.random.PRNGKey(0))
+        param_bytes = tree_bytes(params)
+
+        # ---------------- read floor + dispatch ----------------
+        log("[profile] read floor ...")
+
+        @jax.jit
+        def sum_all(p):
+            return sum(
+                jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(p)
+            )
+
+        floor_s = timed(sum_all, params, reps=6,
+                        sync=lambda o: float(o))
+        read_floor_gbps = param_bytes / floor_s / 1e9
+        log(f"[profile] read_floor {floor_s*1e3:.2f} ms"
+            f" = {read_floor_gbps:.0f} GB/s over {param_bytes/1e9:.2f} GB")
+
+        @jax.jit
+        def empty(x):
+            return x + 1
+
+        one = jnp.zeros((), jnp.float32)
+        dispatch_s = timed(empty, one, reps=20, sync=lambda o: float(o))
+        log(f"[profile] dispatch {dispatch_s*1e3:.2f} ms")
+
+        # GEMV weight-stream: [32768, 65536] bf16 (4.3 GB) x [65536, 8]
+        # through the MXU — the shape class a decode step actually
+        # streams weights through (reduces measure the VPU path, which
+        # on this chip runs far below the matmul stream rate)
+        w_bytes = 32768 * 65536 * 2
+
+        def _floor_gemv():
+            w = jnp.ones((32768, 65536), jnp.bfloat16)  # 4.29 GB
+            x = jnp.ones((65536, 8), jnp.bfloat16)
+
+            @jax.jit
+            def gemv(w, x):
+                return jax.lax.dot_general(
+                    w, x, dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+
+            s = timed(gemv, w, x, reps=8, sync=lambda o: np.asarray(o[0]))
+            del w, x
+            return w_bytes / max(s - dispatch_s, 1e-6) / 1e9
+
+        read_floor_gemv_gbps = attempt("read_floor_gemv", _floor_gemv)
+        if read_floor_gemv_gbps:
+            log(f"[profile] read_floor_gemv {read_floor_gemv_gbps:.0f} GB/s")
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new, eos_id=tok.eos_token_id,
+            pad_id=tok.eos_token_id, num_beams=beams,
+            num_return_sequences=beams,
+        )
+        gen = Generator(model, gen_cfg, media_id=tok.media_token_id)
+        latents = jax.jit(
+            lambda p, v: model.apply(
+                {"params": p}, normalize_on_device(v),
+                method=UniMPModel.encode_vision,
+            )
+        )(params, jnp.asarray(probe["images"]))
+
+        # ------------- real loop per-step (ground truth) -------------
+        # FIRST, before the standalone decode state exists: the whole-
+        # generate program is the number eval throughput actually sees,
+        # it is the likeliest compile-cache hit (the 4b eval bench
+        # compiles the identical program), and its internal prefill +
+        # gen caches need the HBM the standalone state would otherwise
+        # hold (running it later OOMs a 16 GB chip at 4b).
+        def _loop():
+            log("[profile] full beam loop ...")
+            toks, _ = gen.generate(params, ids,
+                                   jnp.asarray(probe["seq_len"]), latents)
+            np.asarray(toks)
+            t0 = time.perf_counter()
+            toks, _ = gen.generate(params, ids,
+                                   jnp.asarray(probe["seq_len"]), latents)
+            np.asarray(toks)
+            return time.perf_counter() - t0
+
+        loop_s = attempt("loop", _loop)
+        loop_step_s = loop_s / max_new if loop_s else None
+        if loop_step_s:
+            log(f"[profile] loop_step {loop_step_s*1e3:.2f} ms")
+
+        # ---------------- live decode state ----------------
+        log("[profile] prefill ...")
+        from unimp_tpu.decode.sampler import left_align
+
+        ids_l, start = left_align(ids, jnp.asarray(probe["seq_len"]),
+                                  tok.pad_token_id)
+        positions = jnp.maximum(
+            jnp.arange(t, dtype=jnp.int32)[None, :] - start[:, None], 0
+        )
+        q_media = compute_q_media(ids_l, tok.media_token_id)
+        n_media = q_media[:, -1]
+        kv_media = UniMPModel.kv_media_for(latents)
+
+        @jax.jit
+        def prefill(p, ids_l, start, positions, latents, q_media):
+            logits, kv = model.apply(
+                {"params": p}, ids_l, latents=latents, q_media=q_media,
+                kv_start=start, positions=positions, return_kv=True,
+                last_logit_only=True,
+            )
+            return logits[:, -1], kv
+
+        last_logits, kv = prefill(params, ids_l, start, positions, latents,
+                                  q_media)
+        np.asarray(last_logits)
+        state = {
+            "self": kv["self"], "xattn": kv.get("xattn", []),
+            "kv_start": start, "n_media": n_media, "kv_media": kv_media,
+        }
+        bk = batch * beams
+        caches = model.init_gen_caches(bk, max_new)
+        anc = jnp.tile(
+            jnp.arange(bk, dtype=jnp.int32)[:, None], (1, max_new)
+        )
+        tok_in = jnp.full((bk, 1), 11, jnp.int32)
+        start_k = jnp.repeat(start, beams, axis=0)
+        pos1 = (t + 10 - start_k)[:, None]
+        step_idx = jnp.int32(10)  # mid-decode: caches half full
+
+        prompt_kv_bytes = tree_bytes(state["self"])
+        xattn_kv_bytes = tree_bytes(state["xattn"])
+        gen_kv_bytes = tree_bytes(caches)
+
+        # ---------------- attention-only ----------------
+        from unimp_tpu.ops.decode_attention import decode_attention
+
+        heads = cfg.lm.num_heads
+        head_dim = cfg.lm.head_dim
+
+        @jax.jit
+        def attn_only(q, state_self, caches, anc):
+            outs = []
+            for layer_kv, layer_gen in zip(state_self, caches):
+                gk = layer_gen["kv"][0]
+                gv = layer_gen["kv"][1]
+                outs.append(decode_attention(
+                    q, layer_kv["k"], layer_kv["v"], gk, gv,
+                    step=step_idx, kv_start=start,
+                    beam_sel=anc,
+                ))
+            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+        q_in = jnp.zeros((bk, heads, head_dim), cfg.compute_dtype)
+        log("[profile] attn_only ...")
+        attn_s = attempt("attn_only", lambda: timed(
+            attn_only, q_in, state["self"], caches, anc,
+            reps=10, sync=lambda o: float(o)))
+        if attn_s:
+            log(f"[profile] attn_only {attn_s*1e3:.2f} ms")
+
+        # lm-head term timed directly (the decode path always computes
+        # [BK, V] logits; this isolates that matmul's cost)
+        log("[profile] lm_head ...")
+        d_model = cfg.lm.hidden_size
+
+        @jax.jit
+        def lm_head_only(p, h):
+            emb = p["embed"]["embedding"] if cfg.lm.tie_embeddings else (
+                p["lm_head"]["kernel"]
+            )
+            if cfg.lm.tie_embeddings:
+                return jax.lax.dot_general(
+                    h, emb.astype(h.dtype),
+                    dimension_numbers=(((1,), (1,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
+            return jax.lax.dot_general(
+                h, emb.astype(h.dtype),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+
+        h_in = jnp.zeros((bk, d_model), cfg.compute_dtype)
+
+        @jax.jit
+        def lm_head_scalar(p, h):
+            # scalar output: a [BK, V] f32 fetch costs ~20 ms over the
+            # tunnel and would be misread as device time
+            return jnp.sum(lm_head_only(p, h))
+
+        lm_head_s = attempt("lm_head", lambda: timed(
+            lm_head_scalar, params, h_in, reps=10,
+            sync=lambda o: float(o)))
+        if lm_head_s:
+            log(f"[profile] lm_head {lm_head_s*1e3:.2f} ms")
+
+        # ---------------- one-layer step probe ----------------
+        # One decoder block's decode step (self-attn on live caches +
+        # MLP), a small fast compile; x num_layers estimates the
+        # backbone term without the monolithic step program.
+        blk_params = params[f"block_{cfg.lm.num_layers // 2}"]
+
+        def _layer_probe():
+            from unimp_tpu.models.lm import DecoderBlock
+
+            block = DecoderBlock(cfg.lm, dtype=cfg.compute_dtype)
+            mid = cfg.lm.num_layers // 2
+            layer_ds = {
+                "prompt": state["self"][mid],
+                "gen": caches[mid],
+                "step": step_idx,
+                "kv_start": start,
+                "gen_index": anc,
+            }
+
+            @jax.jit
+            def layer_step(bp, x):
+                y, gc = block.apply(
+                    {"params": bp}, x, positions=pos1, decode_state=layer_ds
+                )
+                # scalar sync; keep gc live so the cache write isn't DCEd
+                return jnp.sum(y.astype(jnp.float32)), gc
+
+            x_in = jnp.zeros((bk, 1, d_model), cfg.compute_dtype)
+            return timed(layer_step, blk_params, x_in, reps=10,
+                         sync=lambda o: float(o[0]))
+
+        layer_s = attempt("layer_step", _layer_probe)
+        if layer_s:
+            log(f"[profile] layer_step {layer_s*1e3:.2f} ms"
+                f" (x{cfg.lm.num_layers} = "
+                f"{layer_s*cfg.lm.num_layers*1e3:.1f} ms)")
+
+        # ---------------- monolithic step (LAST: may drop the tunnel) --
+        def run_step(p, tokens, caches, anc, pos):
+            ds = dict(state, gen=caches, step=step_idx, gen_index=anc)
+            logits, gen = model.apply(
+                {"params": p}, tokens, positions=pos, decode_state=ds
+            )
+            return jnp.sum(logits), gen  # scalar sync, writes kept live
+
+        step_full = jax.jit(run_step)
+        log("[profile] step_full ...")
+        step_full_s = attempt("step_full", lambda: timed(
+            step_full, params, tok_in, caches, anc, pos1, reps=10,
+            sync=lambda o: float(o[0])))
+        if step_full_s:
+            log(f"[profile] step_full {step_full_s*1e3:.2f} ms")
+
+    step_bytes = (param_bytes + prompt_kv_bytes + xattn_kv_bytes
+                  + gen_kv_bytes)
+
+    def ms(x):
+        return round(x * 1e3, 2) if x else None
+
+    # standalone terms pay one dispatch+fetch round trip each; subtract
+    # it so the device-time attribution is honest
+    def dev(x):
+        return max(x - dispatch_s, 0.0) if x else None
+
+    out = {
+        "metric": f"decode_step_profile_{variant}",
+        "unit": "ms",
+        "batch": batch, "beams": beams, "prompt_len": t,
+        "max_new": max_new,
+        "param_gb": round(param_bytes / 1e9, 2),
+        "prompt_kv_gb": round(prompt_kv_bytes / 1e9, 2),
+        "xattn_kv_gb": round(xattn_kv_bytes / 1e9, 2),
+        "gen_kv_gb": round(gen_kv_bytes / 1e9, 2),
+        "read_floor_gbps": round(read_floor_gbps, 1),
+        "read_floor_gemv_gbps": (round(read_floor_gemv_gbps, 1)
+                                 if read_floor_gemv_gbps else None),
+        "dispatch_ms": round(dispatch_s * 1e3, 2),
+        "step_full_ms": ms(dev(step_full_s)),
+        "lm_head_ms": ms(dev(lm_head_s)),
+        "attn_only_ms": ms(dev(attn_s)),
+        "layer_step_ms": ms(dev(layer_s)),
+        "layers_extrapolated_ms": (
+            ms(dev(layer_s) * cfg.lm.num_layers) if layer_s else None),
+        "loop_step_ms": ms(loop_step_s),
+        "loop_total_s": round(loop_s, 2) if loop_s else None,
+        "loop_eff_gbps": (round(step_bytes / loop_step_s / 1e9, 1)
+                          if loop_step_s else None),
+        "vs_read_floor": (round(
+            (step_bytes / loop_step_s) / (param_bytes / floor_s), 3)
+            if loop_step_s else None),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

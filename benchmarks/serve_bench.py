@@ -70,9 +70,11 @@ def main():
         )["params"]
     )(jax.random.PRNGKey(0))
 
+    batched = os.environ.get("BENCH_UNBATCHED", "") != "1"
     worker = ModelWorker(model, params, tok, [variant], image_size=img,
                          max_new_tokens=max_new,
-                         limit_concurrency=concurrency)
+                         limit_concurrency=concurrency,
+                         batched=batched)
     wsrv = ThreadingHTTPServer(("127.0.0.1", 0), worker_handler(worker))
     threading.Thread(target=wsrv.serve_forever, daemon=True).start()
     ctrl = Controller()
@@ -144,6 +146,7 @@ def main():
         ) if oks else None),
         "concurrency": concurrency,
         "max_new_tokens": max_new,
+        "batched_streaming": batched,
         "errors": len(errors),
     }
     print(json.dumps(out))

@@ -257,3 +257,75 @@ def test_streaming_generator_matches_batch_greedy(model_and_params):
     # the batch generator records the eos token; streaming stops before it
     want_no_eos = [t for t in want if t != 3]
     assert streamed == want_no_eos
+
+
+# ---------------------------------------------------------------- chunked op
+
+
+def _rand_decode_case(rng, b, k_beams, t, g, h, d, alibi=False):
+    keys = jax.random.split(rng, 7)
+    bk = b * k_beams
+    q = jax.random.normal(keys[0], (bk, h, d), jnp.float32)
+    pk = jax.random.normal(keys[1], (b, t, h, d), jnp.float32)
+    pv = jax.random.normal(keys[2], (b, t, h, d), jnp.float32)
+    gk = jax.random.normal(keys[3], (bk, g, h, d), jnp.float32)
+    gv = jax.random.normal(keys[4], (bk, g, h, d), jnp.float32)
+    kv_start = jax.random.randint(keys[5], (b,), 0, t // 2)
+    sel = jax.random.randint(keys[6], (bk, g), 0, k_beams)
+    slopes = (
+        jnp.linspace(0.1, 1.0, h, dtype=jnp.float32) if alibi else None
+    )
+    return q, pk, pv, gk, gv, kv_start, sel, slopes
+
+
+@pytest.mark.parametrize("step", [1, 7, 16, 37, 50])
+@pytest.mark.parametrize("use_beam_sel", [True, False])
+def test_chunked_gen_segment_matches_full_read(step, use_beam_sel):
+    """The dynamic-trip chunked gen-cache read (gen_chunk=16) must be
+    numerically identical to the full-width read at every fill level,
+    including the clamped/overlapping final chunk (G=50 is not a chunk
+    multiple)."""
+    from unimp_tpu.ops.decode_attention import decode_attention
+
+    b, k_beams, t, g, h, d = 2, 3, 12, 50, 4, 16
+    q, pk, pv, gk, gv, kv_start, sel, slopes = _rand_decode_case(
+        jax.random.PRNGKey(step), b, k_beams, t, g, h, d,
+        alibi=use_beam_sel,  # exercise alibi on one arm of the matrix
+    )
+    kw = dict(
+        step=jnp.int32(step), kv_start=kv_start, alibi=slopes,
+        beam_sel=sel if use_beam_sel else None,
+    )
+    full = decode_attention(q, pk, pv, gk, gv, gen_chunk=0, **kw)
+    chunked = decode_attention(q, pk, pv, gk, gv, gen_chunk=16, **kw)
+    np.testing.assert_allclose(
+        np.asarray(chunked), np.asarray(full), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_chunked_gen_segment_inside_jit_traced_step():
+    """gen_chunk's dynamic trip count must compile inside a jitted loop
+    with a TRACED step (the sampler's while_loop carries step)."""
+    from unimp_tpu.ops.decode_attention import decode_attention
+
+    b, k_beams, t, g, h, d = 1, 2, 8, 40, 2, 8
+    q, pk, pv, gk, gv, kv_start, sel, _ = _rand_decode_case(
+        jax.random.PRNGKey(0), b, k_beams, t, g, h, d
+    )
+
+    @jax.jit
+    def run(step):
+        return decode_attention(
+            q, pk, pv, gk, gv, step=step, kv_start=kv_start,
+            beam_sel=sel, gen_chunk=8,
+        )
+
+    for s in (1, 9, 40):
+        ref = decode_attention(
+            q, pk, pv, gk, gv, step=jnp.int32(s), kv_start=kv_start,
+            beam_sel=sel, gen_chunk=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(run(jnp.int32(s))), np.asarray(ref),
+            rtol=2e-5, atol=2e-5,
+        )

@@ -25,6 +25,7 @@ the merge weights are exact.
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -62,6 +63,75 @@ def _beam_segment_attn(q, k, v, mask, scale, bias=None):
         preferred_element_type=jnp.float32,
     )
     return out, m, l
+
+
+def _chunked_gen_segment(q_r, gk, gv, sel, step, scale, alibi, t, q_abs,
+                         chunk):
+    """Gen-segment attention reading only the VALID chunks of the cache.
+
+    The static-shape alternative streams the full [*, G] gen cache every
+    step even when only ``step`` columns hold tokens — at G=50 that is
+    ~2x the necessary HBM traffic averaged over a decode, and profiling
+    the 4b decode step showed the gen-KV stream dominating
+    (benchmarks/decode_profile.py: attention 20.6 ms of a 33.5 ms step).
+    This loop runs ceil(step/chunk) iterations (dynamic trip count -> XLA
+    while_loop) and merges chunks by streaming logsumexp, the same
+    flash-attention identity the prompt/gen merge already uses.
+
+    q_r [B, K, H, D]; gk/gv [B, P, G, H, D]; sel [B, K, G] local ancestor
+    beam per column (all-zeros with P=1 covers the no-beam layout).
+    Returns (out [B,K,H,D] f32 UNnormalized, m [B,K,H], l [B,K,H]).
+    """
+    b, kb, h, d = q_r.shape
+    p_ = gk.shape[1]
+    g = gk.shape[2]
+    n_chunks = (step + chunk - 1) // chunk
+    m0 = jnp.full((b, kb, h), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((b, kb, h), jnp.float32)
+    o0 = jnp.zeros((b, kb, h, d), jnp.float32)
+
+    def body(ci, carry):
+        m, l, o = carry
+        # clamp so the final (partial) chunk re-reads the tail; the
+        # pos >= ci*chunk guard keeps overlapped columns from double
+        # counting
+        start = jnp.minimum(ci * chunk, g - chunk)
+        ks = jax.lax.dynamic_slice_in_dim(gk, start, chunk, axis=2)
+        vs = jax.lax.dynamic_slice_in_dim(gv, start, chunk, axis=2)
+        sc = jax.lax.dynamic_slice_in_dim(sel, start, chunk, axis=2)
+        pos = start + jnp.arange(chunk, dtype=jnp.int32)  # [C] actual cols
+        valid = (pos >= ci * chunk) & (pos < step)
+        logits_all = jnp.einsum(
+            "bkhd,bpchd->bkpch", q_r, ks, preferred_element_type=jnp.float32
+        ) * scale
+        onehot = (
+            sc[:, :, None, :]
+            == jnp.arange(p_, dtype=sc.dtype)[None, None, :, None]
+        )  # [B, K, P, C]
+        logits = jnp.sum(
+            jnp.where(onehot[..., None], logits_all, 0.0), axis=2
+        )  # [B, K, C, H]
+        if alibi is not None:
+            ki = (t + pos).astype(jnp.float32)
+            bias = alibi[None, :] * (ki[:, None] - q_abs)  # [C, H]
+            logits = logits + bias[None, None]
+        mask4 = valid[None, None, :, None]
+        logits = jnp.where(mask4, logits, NEG_INF)
+        m_new = jnp.maximum(m, jnp.max(logits, axis=2))
+        p = jnp.exp(logits - m_new[:, :, None, :])
+        p = jnp.where(mask4, p, 0.0)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=2)
+        p_sel = p[:, :, None] * onehot[..., None]  # [B, K, P, C, H]
+        o_c = jnp.einsum(
+            "bkpch,bpchd->bkhd", p_sel.astype(vs.dtype), vs,
+            preferred_element_type=jnp.float32,
+        )
+        o = o * alpha[..., None] + o_c
+        return m_new, l, o
+
+    m, l, o = jax.lax.fori_loop(0, n_chunks, body, (m0, l0, o0))
+    return o, m, l
 
 
 def single_query_attention(
@@ -102,6 +172,7 @@ def decode_attention(
     alibi: Optional[jax.Array] = None,  # [H] slopes
     scale: Optional[float] = None,
     beam_sel: Optional[jax.Array] = None,  # [BK, G] local ancestor beam
+    gen_chunk: Optional[int] = None,  # None=auto, 0=full-width read
 ) -> jax.Array:
     """Returns [BK, H, D] attention outputs in q.dtype.
 
@@ -139,6 +210,40 @@ def decode_attention(
                                          scale, bias_p)
 
     # ---- generated segment
+    if gen_chunk is None:
+        # auto: chunked reads pay off once the cache is wider than ~2
+        # chunks (below that the loop overhead buys nothing)
+        gen_chunk = int(os.environ.get("UNIMP_DECODE_GEN_CHUNK", "16"))
+        if g < 2 * gen_chunk:
+            gen_chunk = 0
+    if gen_chunk:
+        gen_chunk = min(gen_chunk, g)
+        if beam_sel is not None:
+            gk5 = gen_k.reshape(b, k_beams, g, h, d)
+            gv5 = gen_v.reshape(b, k_beams, g, h, d)
+            sel = beam_sel.reshape(b, k_beams, g)
+            out_g, m_g, l_g = _chunked_gen_segment(
+                q_r, gk5, gv5, sel, step, scale, alibi, t, q_abs, gen_chunk
+            )
+        else:
+            gk5 = gen_k[:, None]  # [BK, 1, G, H, D]
+            gv5 = gen_v[:, None]
+            sel = jnp.zeros((bk, 1, g), jnp.int32)
+            out_f, m_f, l_f = _chunked_gen_segment(
+                q[:, None], gk5, gv5, sel, step, scale, alibi, t, q_abs,
+                gen_chunk,
+            )
+            out_g = out_f.reshape(b, k_beams, h, d)
+            m_g = m_f.reshape(b, k_beams, h)
+            l_g = l_f.reshape(b, k_beams, h)
+        m = jnp.maximum(m_p, m_g)
+        a_p = jnp.exp(m_p - m)
+        a_g = jnp.exp(m_g - m)
+        l = l_p * a_p + l_g * a_g
+        denom = jnp.where(l > 0, l, 1.0)
+        out = (out_p * a_p[..., None] + out_g * a_g[..., None]) / denom[..., None]
+        return out.reshape(bk, h, d).astype(q.dtype)
+
     pos_g = jnp.arange(g, dtype=jnp.int32)[None, :]
     bias_g = None
     if alibi is not None:

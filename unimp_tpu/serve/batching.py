@@ -12,18 +12,29 @@ batches concurrent streams into ONE device program per token:
   * the wave's prompts are left-aligned into one bucketed window (the
     same layout the batched eval sampler uses, decode/sampler.py) and
     prefilled in one program
-  * the decode loop then runs lockstep: one jitted step per token for
-    ALL active rows, each row's text streamed to its consumer queue;
-    rows retire on EOS / their own max_new, the wave ends when all do
+  * the decode loop runs CHUNKED: ``lax.scan`` advances CHUNK tokens for
+    ALL rows inside one device program (sampling fused in — the next
+    input token never visits the host), and each chunk returns one
+    packed [S, CHUNK, 2] (token, done) array = ONE host fetch per CHUNK
+    tokens. Over the remote-tunnel device link every dispatch/fetch is
+    a ~15 ms round trip, so per-token host loops cap out near
+    1000/15 ≈ 66 steps/s no matter how small the model; chunking is
+    what actually lifts serving throughput past the link latency.
+  * the host streams each chunk's tokens per-row to the consumer
+    queues; rows retire on EOS / their own max_new. The next chunk is
+    dispatched before the previous one is drained (runahead 1), so the
+    device computes while the host decodes text.
 
 Per-row sampling parameters are data, not trace constants: temperature
 is a [S] array (0 = argmax) so mixed greedy/sampled requests share one
 compiled step. Compiled shapes are cached by (slots, prompt-bucket,
-media-bucket, max_new) so steady-state traffic reuses one executable.
+media-bucket, max_new-bucket, chunk) so steady-state traffic reuses one
+executable.
 """
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -48,13 +59,14 @@ class _Request:
 class BatchedStreamingEngine:
     def __init__(self, model, tokenizer, *, max_slots: int = 4,
                  max_new_tokens: int = 256, wave_window_ms: float = 30.0,
-                 prompt_bucket: int = 64):
+                 prompt_bucket: int = 64, chunk: int = 8):
         self.model = model
         self.tok = tokenizer
         self.max_slots = max_slots
         self.max_new = max_new_tokens
         self.window = wave_window_ms / 1000.0
         self.prompt_bucket = prompt_bucket
+        self.chunk = max(1, chunk)
         self._inbox: "queue.Queue" = queue.Queue()
         self._fns = {}
         self._encode_fn = None
@@ -134,6 +146,9 @@ class BatchedStreamingEngine:
         import jax.numpy as jnp
 
         model = self.model
+        eos_id = self.tok.eos_token_id
+        pad_id = self.tok.pad_token_id
+        t = key[1]
 
         @jax.jit
         def prefill(params, ids, kv_start, positions, latents, q_media):
@@ -157,27 +172,50 @@ class BatchedStreamingEngine:
             }
             return logits[:, -1], state
 
-        @jax.jit
-        def step(params, tokens, state, gen, step_idx, positions):
-            ds = dict(state, gen=gen, step=step_idx, gen_index=None)
-            logits, gen = model.apply(
-                {"params": params}, tokens, positions=positions,
-                decode_state=ds,
+        chunk = key[4]
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def decode_chunk(params, state, gen, logits, done, rng, temps,
+                         step0, kv_start):
+            """Advance CHUNK tokens in ONE program: sampling is fused so
+            the next step's input token never visits the host, and the
+            chunk's emitted (token, done) pairs come back as a single
+            packed int32 array — one device fetch per CHUNK tokens
+            instead of one dispatch + one fetch per token (the ~15 ms
+            tunnel round trips were the serving bottleneck)."""
+
+            def body(carry, i):
+                logits, gen, done = carry
+                step_i = step0 + i
+                greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                scaled = logits / jnp.maximum(temps[:, None], 1e-6)
+                keys = jax.random.split(
+                    jax.random.fold_in(rng, step_i), logits.shape[0]
+                )
+                sampled = jax.vmap(
+                    lambda k, l: jax.random.categorical(k, l)
+                )(keys, scaled).astype(jnp.int32)
+                nxt = jnp.where(temps > 0, sampled, greedy)
+                emit = jnp.where(done, pad_id, nxt)
+                new_done = done | (emit == eos_id)
+                pos = (t + step_i - kv_start)[:, None]
+                ds = dict(state, gen=gen, step=step_i, gen_index=None)
+                new_logits, gen = model.apply(
+                    {"params": params}, emit[:, None], positions=pos,
+                    decode_state=ds,
+                )
+                return (new_logits[:, 0], gen, new_done), (emit, new_done)
+
+            (logits, gen, done), (emits, dones) = jax.lax.scan(
+                body, (logits, gen, done),
+                jnp.arange(chunk, dtype=jnp.int32),
             )
-            return logits[:, 0], gen
+            packed = jnp.stack(
+                [emits.T, dones.T.astype(jnp.int32)], axis=-1
+            )  # [S, CHUNK, 2] — one fetch
+            return logits, done, gen, packed, step0 + chunk
 
-        @jax.jit
-        def choose(logits, temps, rng):
-            # per-row temperature: 0 = argmax, else categorical sample
-            greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-            scaled = logits / jnp.maximum(temps[:, None], 1e-6)
-            keys = jax.random.split(rng, logits.shape[0])
-            sampled = jax.vmap(
-                lambda k, l: jax.random.categorical(k, l)
-            )(keys, scaled).astype(jnp.int32)
-            return jnp.where(temps > 0, sampled, greedy)
-
-        self._fns[key] = (prefill, step, choose)
+        self._fns[key] = (prefill, decode_chunk)
         return self._fns[key]
 
     # ---------------- the wave ----------------
@@ -198,7 +236,10 @@ class BatchedStreamingEngine:
         t = -(-t_max // self.prompt_bucket) * self.prompt_bucket
         m = max((0 if r.vision is None else r.vision.shape[0] for r in reqs),
                 default=0)
-        g = max(r.max_new for r in reqs)
+        chunk = min(self.chunk, max(r.max_new for r in reqs))
+        # gen window bucketed to a chunk multiple: the scan never writes
+        # past the cache and the compile key stays coarse
+        g = -(-max(r.max_new for r in reqs) // chunk) * chunk
 
         # left-aligned prompt window (suffix-aligned, like the sampler)
         ids = np.full((s, t), pad_id, np.int32)
@@ -234,8 +275,8 @@ class BatchedStreamingEngine:
             latents = self._encode_fn(params, jnp.asarray(vision))
             q_media = compute_q_media(jnp.asarray(ids), tok.media_token_id)
 
-        key = (s, t, m, g)
-        prefill, step, choose = self._fns.get(key) or self._build(key)
+        key = (s, t, m, g, chunk)
+        prefill, decode_chunk = self._fns.get(key) or self._build(key)
 
         logits, state = prefill(
             params, jnp.asarray(ids), jnp.asarray(kv_start),
@@ -244,30 +285,52 @@ class BatchedStreamingEngine:
         gen = self.model.init_gen_caches(s, g)
         rng = jax.random.PRNGKey(reqs[0].seed)
         temps_d = jnp.asarray(temps)
+        kv_start_d = jnp.asarray(kv_start)
+        done_d = jnp.asarray(np.arange(s) >= n)  # inactive slots retired
+        step0 = jnp.int32(0)  # advanced ON DEVICE: no per-chunk upload
+
+        from collections import deque
 
         out_ids = [[] for _ in range(s)]
-        done = [i >= n for i in range(s)]
-        for i in range(g):
-            rng, sub = jax.random.split(rng)
-            nxt = np.asarray(choose(logits, temps_d, sub))
-            for j, r in enumerate(reqs):
-                if done[j]:
-                    continue
-                token = int(nxt[j])
-                if token == tok.eos_token_id or len(out_ids[j]) >= r.max_new:
-                    done[j] = True
-                    r.out.put(_END)
-                    continue
-                out_ids[j].append(token)
-                r.out.put(tok.decode(out_ids[j]))
-            if all(done):
-                break
-            nxt = np.where(done, pad_id, nxt).astype(np.int32)
-            pos = (t + i - kv_start)[:, None]
-            logits, gen = step(
-                params, jnp.asarray(nxt[:, None]), state, gen,
-                jnp.int32(i), jnp.asarray(pos),
+        host_done = [i >= n for i in range(s)]
+        pending = deque()  # packed [S, CHUNK, 2] handles
+        prev_done = np.asarray(done_d)
+        n_chunks = g // chunk
+        dispatched = 0
+
+        def drain_chunk():
+            nonlocal prev_done
+            pk = np.asarray(pending.popleft())  # one fetch per chunk
+            for c in range(pk.shape[1]):
+                for j, r in enumerate(reqs):
+                    if host_done[j]:
+                        continue
+                    token = int(pk[j, c, 0])
+                    dn = bool(pk[j, c, 1])
+                    if (not prev_done[j] and not dn
+                            and len(out_ids[j]) < r.max_new):
+                        out_ids[j].append(token)
+                        r.out.put(tok.decode(out_ids[j]))
+                    if dn or len(out_ids[j]) >= r.max_new:
+                        host_done[j] = True
+                        r.out.put(_END)
+                prev_done = pk[:, c, 1].astype(bool)
+
+        # runahead 1: the next chunk computes while the host decodes +
+        # streams the previous one's text
+        while dispatched < n_chunks and not all(host_done):
+            logits, done_d, gen, packed, step0 = decode_chunk(
+                params, state, gen, logits, done_d, rng, temps_d,
+                step0, kv_start_d,
             )
+            pending.append(packed)
+            dispatched += 1
+            if len(pending) >= 2:
+                drain_chunk()
+        while pending and not all(host_done):
+            drain_chunk()
+        pending.clear()
         for j, r in enumerate(reqs):
-            if not done[j]:
+            if not host_done[j]:
+                host_done[j] = True
                 r.out.put(_END)

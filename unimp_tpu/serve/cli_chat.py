@@ -19,7 +19,10 @@ def stream_request(addr: str, payload: dict):
 
     with requests.post(
         addr + "/worker_generate_stream", json=payload, stream=True,
-        timeout=300,
+        # read timeout must cover the worker's FIRST wave compile (the
+        # batched engine emits no bytes until prefill+step are compiled;
+        # several minutes on a cold remote TPU)
+        timeout=900,
     ) as r:
         buf = b""
         for chunk in r.iter_content(chunk_size=None):

@@ -194,7 +194,9 @@ def make_handler(controller: Controller):
             self.end_headers()
             with requests.post(
                 addr + "/worker_generate_stream", json=req, stream=True,
-                timeout=300,
+                # must outlive the worker's first-wave compile (several
+                # minutes on a cold TPU; no bytes flow until then)
+                timeout=900,
             ) as r:
                 for chunk in r.iter_content(chunk_size=None):
                     if chunk:

@@ -112,7 +112,7 @@ def make_handler(controller_addr: str):
                 self.end_headers()
                 with requests.post(
                     controller_addr + "/worker_generate_stream", json=req,
-                    stream=True, timeout=300,
+                    stream=True, timeout=900,
                 ) as r:
                     for chunk in r.iter_content(chunk_size=None):
                         if chunk:
