@@ -9,14 +9,19 @@ explained with data, not spec sheets:
                 bandwidth THIS chip actually achieves on a pure
                 sequential read through one program
   dispatch      empty-program round trip (tunnel RTT + launch)
-  step_full     one decode step (all layers + lm head), jitted alone
-  step_nohead   the same step with return-hidden (no [BK, V] logits
-                matmul) — isolates the lm-head term
-  attn_only     the 32 decode_attention calls on the live caches —
-                isolates the KV-read term
+  step_full     one decode step (all layers + lm head), AMORTIZED:
+                `inner` steps run inside one program with a data
+                dependency, so the ~30 ms tunnel RTT cannot pollute the
+                per-step figure (subtracting one dispatch from a
+                single-step wall time under-corrects when device work
+                overlaps the link — the round-2 numbers did that and
+                overstated attention by ~2x)
+  attn_only     the 32 decode_attention calls on the live caches,
+                amortized the same way — isolates the self-attn KV term
+  xattn_only    the gated cross-attention reads (kv_media latents) the
+                old profile never measured
   loop_step     the per-step time inside the real 50-step while_loop
-                (amortizes dispatch; the number the eval throughput
-                actually sees)
+                (ground truth the eval throughput actually sees)
 
 Env: BENCH_VARIANT (default 4b), BENCH_BATCH (16), BENCH_BEAMS (10),
 BENCH_MAX_NEW (50), BENCH_PROMPT (media prompt from the synth set).
@@ -37,6 +42,9 @@ if sys_path_root not in sys.path:
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
+
+
+INNER = int(os.environ.get("BENCH_INNER", "8"))
 
 
 def timed(fn, *args, reps=10, sync=None):
@@ -132,21 +140,7 @@ def main():
         )(jax.random.PRNGKey(0))
         param_bytes = tree_bytes(params)
 
-        # ---------------- read floor + dispatch ----------------
-        log("[profile] read floor ...")
-
-        @jax.jit
-        def sum_all(p):
-            return sum(
-                jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(p)
-            )
-
-        floor_s = timed(sum_all, params, reps=6,
-                        sync=lambda o: float(o))
-        read_floor_gbps = param_bytes / floor_s / 1e9
-        log(f"[profile] read_floor {floor_s*1e3:.2f} ms"
-            f" = {read_floor_gbps:.0f} GB/s over {param_bytes/1e9:.2f} GB")
-
+        # ---------------- dispatch + read floor ----------------
         @jax.jit
         def empty(x):
             return x + 1
@@ -154,6 +148,28 @@ def main():
         one = jnp.zeros((), jnp.float32)
         dispatch_s = timed(empty, one, reps=20, sync=lambda o: float(o))
         log(f"[profile] dispatch {dispatch_s*1e3:.2f} ms")
+
+        log("[profile] read floor ...")
+
+        @jax.jit
+        def sum_all(p):
+            # amortized like every other term: INNER full passes over the
+            # params inside one program with a data dependency (a single
+            # pass at 4b is ~10 ms of device work vs ~35 ms tunnel RTT)
+            def body(i, acc):
+                return acc + sum(
+                    jnp.sum((x * (1.0 + acc * 1e-20)).astype(jnp.float32))
+                    for x in jax.tree.leaves(p)
+                )
+
+            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
+
+        floor_s = timed(sum_all, params, reps=6,
+                        sync=lambda o: float(o))
+        floor_s = max(floor_s - dispatch_s, 1e-6) / INNER
+        read_floor_gbps = param_bytes / floor_s / 1e9
+        log(f"[profile] read_floor {floor_s*1e3:.2f} ms"
+            f" = {read_floor_gbps:.0f} GB/s over {param_bytes/1e9:.2f} GB")
 
         # GEMV weight-stream: [32768, 65536] bf16 (4.3 GB) x [65536, 8]
         # through the MXU — the shape class a decode step actually
@@ -267,24 +283,63 @@ def main():
 
         @jax.jit
         def attn_only(q, state_self, caches, anc):
-            outs = []
-            for layer_kv, layer_gen in zip(state_self, caches):
-                gk = layer_gen["kv"][0]
-                gv = layer_gen["kv"][1]
-                outs.append(decode_attention(
-                    q, layer_kv["k"], layer_kv["v"], gk, gv,
-                    step=step_idx, kv_start=start,
-                    beam_sel=anc,
-                ))
-            return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+            def sweep(qq):
+                outs = []
+                for layer_kv, layer_gen in zip(state_self, caches):
+                    gk = layer_gen["kv"][0]
+                    gv = layer_gen["kv"][1]
+                    outs.append(decode_attention(
+                        qq, layer_kv["k"], layer_kv["v"], gk, gv,
+                        step=step_idx, kv_start=start,
+                        beam_sel=anc,
+                    ))
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+            def body(i, acc):
+                return acc + sweep(q * (1.0 + acc * 1e-20))
+
+            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
         q_in = jnp.zeros((bk, heads, head_dim), cfg.compute_dtype)
         log("[profile] attn_only ...")
         attn_s = attempt("attn_only", lambda: timed(
             attn_only, q_in, state["self"], caches, anc,
-            reps=10, sync=lambda o: float(o)))
-        if attn_s:
-            log(f"[profile] attn_only {attn_s*1e3:.2f} ms")
+            reps=6, sync=lambda o: float(o)))
+        if attn_s is not None:
+            attn_s = max(attn_s - dispatch_s, 0.0) / INNER
+            log(f"[profile] attn_only {attn_s*1e3:.2f} ms (amortized)")
+
+        # gated cross-attention term: beam-shared single-query reads over
+        # the projected media-latent KV — every xattn layer, every step
+        from unimp_tpu.ops.decode_attention import single_query_attention
+
+        n_xattn = len(state["xattn"])
+
+        @jax.jit
+        def xattn_only(q, kvm):
+            def sweep(qq):
+                outs = []
+                for c in kvm:
+                    mask = jnp.ones(c["k"].shape[:2], bool)
+                    outs.append(single_query_attention(
+                        qq, c["k"], c["v"], mask))
+                return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)
+
+            def body(i, acc):
+                return acc + sweep(q * (1.0 + acc * 1e-20))
+
+            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
+
+        xattn_s = None
+        if n_xattn:
+            log("[profile] xattn_only ...")
+            xattn_s = attempt("xattn_only", lambda: timed(
+                xattn_only, q_in, state["xattn"],
+                reps=6, sync=lambda o: float(o)))
+            if xattn_s is not None:
+                xattn_s = max(xattn_s - dispatch_s, 0.0) / INNER
+                log(f"[profile] xattn_only {xattn_s*1e3:.2f} ms"
+                    f" ({n_xattn} layers, amortized)")
 
         # lm-head term timed directly (the decode path always computes
         # [BK, V] logits; this isolates that matmul's cost)
@@ -314,13 +369,18 @@ def main():
         def lm_head_scalar(p, h):
             # scalar output: a [BK, V] f32 fetch costs ~20 ms over the
             # tunnel and would be misread as device time
-            return jnp.sum(lm_head_only(p, h))
+            def body(i, acc):
+                return acc + jnp.sum(
+                    lm_head_only(p, h * (1.0 + acc * 1e-20)))
+
+            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
         lm_head_s = attempt("lm_head", lambda: timed(
-            lm_head_scalar, params, h_in, reps=10,
+            lm_head_scalar, params, h_in, reps=6,
             sync=lambda o: float(o)))
-        if lm_head_s:
-            log(f"[profile] lm_head {lm_head_s*1e3:.2f} ms")
+        if lm_head_s is not None:
+            lm_head_s = max(lm_head_s - dispatch_s, 0.0) / INNER
+            log(f"[profile] lm_head {lm_head_s*1e3:.2f} ms (amortized)")
 
         # ---------------- one-layer step probe ----------------
         # One decoder block's decode step (self-attn on live caches +
@@ -343,48 +403,62 @@ def main():
 
             @jax.jit
             def layer_step(bp, x):
-                y, gc = block.apply(
-                    {"params": bp}, x, positions=pos1, decode_state=layer_ds
+                def body(i, carry):
+                    acc, gen = carry
+                    y, gc = block.apply(
+                        {"params": bp}, x * (1.0 + acc * 1e-20),
+                        positions=pos1,
+                        decode_state=dict(layer_ds, gen=gen),
+                    )
+                    return acc + jnp.sum(y.astype(jnp.float32)), gc
+
+                return jax.lax.fori_loop(
+                    0, INNER, body, (jnp.float32(0.0), layer_ds["gen"])
                 )
-                # scalar sync; keep gc live so the cache write isn't DCEd
-                return jnp.sum(y.astype(jnp.float32)), gc
 
             x_in = jnp.zeros((bk, 1, d_model), cfg.compute_dtype)
-            return timed(layer_step, blk_params, x_in, reps=10,
-                         sync=lambda o: float(o[0]))
+            s = timed(layer_step, blk_params, x_in, reps=6,
+                      sync=lambda o: float(o[0]))
+            return max(s - dispatch_s, 0.0) / INNER
 
         layer_s = attempt("layer_step", _layer_probe)
-        if layer_s:
+        if layer_s is not None:
             log(f"[profile] layer_step {layer_s*1e3:.2f} ms"
                 f" (x{cfg.lm.num_layers} = "
                 f"{layer_s*cfg.lm.num_layers*1e3:.1f} ms)")
 
         # ---------------- monolithic step (LAST: may drop the tunnel) --
         def run_step(p, tokens, caches, anc, pos):
-            ds = dict(state, gen=caches, step=step_idx, gen_index=anc)
-            logits, gen = model.apply(
-                {"params": p}, tokens, positions=pos, decode_state=ds
+            def body(i, carry):
+                acc, gen = carry
+                # int token dependency on the carry without changing it
+                tok = tokens + (acc.astype(jnp.int32) & 0)
+                ds = dict(state, gen=gen, step=step_idx, gen_index=anc)
+                logits, gen = model.apply(
+                    {"params": p}, tok, positions=pos, decode_state=ds
+                )
+                return acc + jnp.sum(logits.astype(jnp.float32)), gen
+
+            return jax.lax.fori_loop(
+                0, INNER, body, (jnp.float32(0.0), caches)
             )
-            return jnp.sum(logits), gen  # scalar sync, writes kept live
 
         step_full = jax.jit(run_step)
         log("[profile] step_full ...")
         step_full_s = attempt("step_full", lambda: timed(
-            step_full, params, tok_in, caches, anc, pos1, reps=10,
+            step_full, params, tok_in, caches, anc, pos1, reps=6,
             sync=lambda o: float(o[0])))
-        if step_full_s:
-            log(f"[profile] step_full {step_full_s*1e3:.2f} ms")
+        if step_full_s is not None:
+            step_full_s = max(step_full_s - dispatch_s, 0.0) / INNER
+            log(f"[profile] step_full {step_full_s*1e3:.2f} ms (amortized)")
 
     step_bytes = (param_bytes + prompt_kv_bytes + xattn_kv_bytes
                   + gen_kv_bytes)
 
     def ms(x):
-        return round(x * 1e3, 2) if x else None
-
-    # standalone terms pay one dispatch+fetch round trip each; subtract
-    # it so the device-time attribution is honest
-    def dev(x):
-        return max(x - dispatch_s, 0.0) if x else None
+        # 0.0 is a real measurement (device work below the clock floor),
+        # only None means the section failed
+        return round(x * 1e3, 2) if x is not None else None
 
     out = {
         "metric": f"decode_step_profile_{variant}",
@@ -399,12 +473,14 @@ def main():
         "read_floor_gemv_gbps": (round(read_floor_gemv_gbps, 1)
                                  if read_floor_gemv_gbps else None),
         "dispatch_ms": round(dispatch_s * 1e3, 2),
-        "step_full_ms": ms(dev(step_full_s)),
-        "lm_head_ms": ms(dev(lm_head_s)),
-        "attn_only_ms": ms(dev(attn_s)),
-        "layer_step_ms": ms(dev(layer_s)),
+        "inner": INNER,
+        "step_full_ms": ms(step_full_s),
+        "lm_head_ms": ms(lm_head_s),
+        "attn_only_ms": ms(attn_s),
+        "xattn_only_ms": ms(xattn_s),
+        "layer_step_ms": ms(layer_s),
         "layers_extrapolated_ms": (
-            ms(dev(layer_s) * cfg.lm.num_layers) if layer_s else None),
+            ms(layer_s * cfg.lm.num_layers) if layer_s is not None else None),
         "loop_step_ms": ms(loop_step_s),
         "loop_total_s": round(loop_s, 2) if loop_s else None,
         "loop_eff_gbps": (round(step_bytes / loop_step_s / 1e9, 1)
