@@ -320,7 +320,9 @@ def main():
             def sweep(qq):
                 outs = []
                 for c in kvm:
-                    mask = jnp.ones(c["k"].shape[:2], bool)
+                    # heads-major cache [B, H, S, D]: mask is [B, S]
+                    mask = jnp.ones(
+                        (c["k"].shape[0], c["k"].shape[2]), bool)
                     outs.append(single_query_attention(
                         qq, c["k"], c["v"], mask))
                 return sum(jnp.sum(o.astype(jnp.float32)) for o in outs)

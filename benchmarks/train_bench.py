@@ -59,6 +59,7 @@ def main():
 
     with tempfile.TemporaryDirectory() as d:
         synth_data.generate(d, n_items=128, n_users=64,
+                            seq_len=history + 2,
                             image_size=image_size or 64)
         tok = synth_data.build_tokenizer(d, n_items=128)
         cfg = get_config(variant, remat=remat)
@@ -70,7 +71,10 @@ def main():
         model = UniMPModel(cfg)
         ds = TaskDataset(d, "beauty", "rec", "train", tok, n_items=128,
                          history_len=history, image_size=cfg.vision.image_size)
-        dl = DataLoader(ds, batch_size=batch, pad_id=tok.pad_token_id,
+        # the loader delivers accum microbatches at once; the trainer
+        # scans them inside one jitted step (reference semantics:
+        # micro-bsz x accum effective batch, unimp_task.sh:9-30)
+        dl = DataLoader(ds, batch_size=batch * accum, pad_id=tok.pad_token_id,
                         num_workers=4,
                         pad_to_multiple=int(os.environ.get("BENCH_PAD", "128")),
                         fixed_media=fixed_media)
@@ -93,6 +97,9 @@ def main():
                           else "bfloat16" if (frozen_bf16 and not unfreeze)
                           else None),
             grad_dtype="bfloat16" if bf16_state else None,
+            # in-step scan accumulation (one grad buffer; see Trainer) —
+            # optax.MultiSteps' extra acc tree does not fit at 3b/16 GB
+            accum_steps=accum,
         )
         rng = jax.random.PRNGKey(0)
         sample = next(iter(dl))
@@ -108,10 +115,6 @@ def main():
             mu_dtype="bfloat16" if bf16_state else None,
             nu_dtype="bfloat16" if bf16_state else None,
         )
-        if accum > 1:
-            import optax
-
-            trainer.optimizer = optax.MultiSteps(trainer.optimizer, accum)
         state = trainer.init_state(rng, sample)
 
         # warmup/compile (float() materializes; block_until_ready is not
@@ -128,13 +131,13 @@ def main():
                 it = iter(dl)
                 b = next(it)
             state, m = trainer.train_step(state, b)
-            done += batch
+            done += batch * accum
         float(m["loss"])
         dt = time.perf_counter() - t0
 
     from unimp_tpu.utils.flops import detect_peak_flops, train_step_flops
 
-    step_flops = train_step_flops(cfg, batch, int(ids.shape[1]),
+    step_flops = train_step_flops(cfg, batch * accum, int(ids.shape[1]),
                                   images_per_sample=fixed_media,
                                   frozen_backbone=not unfreeze)
     peak = detect_peak_flops()

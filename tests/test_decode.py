@@ -263,13 +263,14 @@ def test_streaming_generator_matches_batch_greedy(model_and_params):
 
 
 def _rand_decode_case(rng, b, k_beams, t, g, h, d, alibi=False):
+    # heads-major cache layout (see models.lm.init_gen_cache)
     keys = jax.random.split(rng, 7)
     bk = b * k_beams
     q = jax.random.normal(keys[0], (bk, h, d), jnp.float32)
-    pk = jax.random.normal(keys[1], (b, t, h, d), jnp.float32)
-    pv = jax.random.normal(keys[2], (b, t, h, d), jnp.float32)
-    gk = jax.random.normal(keys[3], (bk, g, h, d), jnp.float32)
-    gv = jax.random.normal(keys[4], (bk, g, h, d), jnp.float32)
+    pk = jax.random.normal(keys[1], (b, h, t, d), jnp.float32)
+    pv = jax.random.normal(keys[2], (b, h, t, d), jnp.float32)
+    gk = jax.random.normal(keys[3], (bk, h, g, d), jnp.float32)
+    gv = jax.random.normal(keys[4], (bk, h, g, d), jnp.float32)
     kv_start = jax.random.randint(keys[5], (b,), 0, t // 2)
     sel = jax.random.randint(keys[6], (bk, g), 0, k_beams)
     slopes = (
@@ -324,6 +325,85 @@ def test_chunked_gen_segment_inside_jit_traced_step():
         ref = decode_attention(
             q, pk, pv, gk, gv, step=jnp.int32(s), kv_start=kv_start,
             beam_sel=sel, gen_chunk=0,
+        )
+        np.testing.assert_allclose(
+            np.asarray(run(jnp.int32(s))), np.asarray(ref),
+            rtol=2e-5, atol=2e-5,
+        )
+
+
+# ------------------------------------------------------- fused pallas kernel
+
+
+@pytest.mark.parametrize("step", [1, 13, 50])
+@pytest.mark.parametrize("mode", ["beam", "beam_alibi", "greedy", "gqa"])
+def test_pallas_decode_attention_matches_xla(step, mode):
+    """The fused heads-major Pallas kernel must match the XLA split-cache
+    path bit-for-bit in semantics (same masks, ancestry, merge) across
+    beam/greedy/ALiBi/GQA at every cache fill level."""
+    from unimp_tpu.ops.decode_attention import decode_attention
+    from unimp_tpu.ops.decode_attention_pallas import pallas_decode_attention
+
+    b, k_beams, t, g, h, d = 2, 3, 16, 50, 4, 16
+    hkv = 2 if mode == "gqa" else h
+    if mode == "greedy":
+        k_beams = 1
+    rng = jax.random.PRNGKey(step)
+    keys = jax.random.split(rng, 7)
+    bk = b * k_beams
+    q = jax.random.normal(keys[0], (bk, h, d), jnp.float32)
+    pk = jax.random.normal(keys[1], (b, hkv, t, d), jnp.float32)
+    pv = jax.random.normal(keys[2], (b, hkv, t, d), jnp.float32)
+    gk = jax.random.normal(keys[3], (bk, hkv, g, d), jnp.float32)
+    gv = jax.random.normal(keys[4], (bk, hkv, g, d), jnp.float32)
+    kv_start = jax.random.randint(keys[5], (b,), 0, t // 2)
+    sel = (jax.random.randint(keys[6], (bk, g), 0, k_beams)
+           if k_beams > 1 else None)
+    slopes = (jnp.linspace(0.1, 1.0, h, dtype=jnp.float32)
+              if mode == "beam_alibi" else None)
+
+    ref = decode_attention(
+        q, pk, pv, gk, gv, step=jnp.int32(step), kv_start=kv_start,
+        alibi=slopes, beam_sel=sel, gen_chunk=0, impl="xla",
+    )
+    got = pallas_decode_attention(
+        q, pk, pv, gk, gv,
+        step=jnp.int32(step), kv_start=kv_start, alibi=slopes,
+        beam_sel=sel,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_pallas_decode_attention_prompt_len_and_jit():
+    """prompt_len masking + traced step under jit (the sampler's loop)."""
+    from unimp_tpu.ops.decode_attention import decode_attention
+    from unimp_tpu.ops.decode_attention_pallas import pallas_decode_attention
+
+    b, k_beams, t, g, h, d = 1, 2, 8, 24, 2, 8
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 7)
+    bk = b * k_beams
+    q = jax.random.normal(keys[0], (bk, h, d), jnp.float32)
+    pk = jax.random.normal(keys[1], (b, h, t, d), jnp.float32)
+    pv = jax.random.normal(keys[2], (b, h, t, d), jnp.float32)
+    gk = jax.random.normal(keys[3], (bk, h, g, d), jnp.float32)
+    gv = jax.random.normal(keys[4], (bk, h, g, d), jnp.float32)
+    plen = jnp.asarray([6], jnp.int32)
+    sel = jax.random.randint(keys[6], (bk, g), 0, k_beams)
+
+    @jax.jit
+    def run(step):
+        return pallas_decode_attention(
+            q, pk, pv, gk, gv,
+            step=step, prompt_len=plen, beam_sel=sel,
+        )
+
+    for s in (1, 9, 24):
+        ref = decode_attention(
+            q, pk, pv, gk, gv, step=jnp.int32(s), prompt_len=plen,
+            beam_sel=sel, gen_chunk=0, impl="xla",
         )
         np.testing.assert_allclose(
             np.asarray(run(jnp.int32(s))), np.asarray(ref),

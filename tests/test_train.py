@@ -470,3 +470,53 @@ def test_bf16_state_train_step(setup):
         losses.append(float(m["loss"]))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_in_step_grad_accumulation_matches_multisteps(setup):
+    """Trainer(accum_steps=2) over a [2*mb] batch must produce the same
+    parameters as optax.MultiSteps fed the two microbatches separately —
+    same math (mean of per-microbatch grads), but with a single resident
+    gradient buffer (the memory shape that fits 3b on one chip)."""
+    import optax
+
+    tok, model, dl = setup
+    batch = next(iter(dl))  # 8 rows -> 2 microbatches of 4
+
+    def mk_trainer(accum):
+        return Trainer(
+            model, optimizer=None, media_id=tok.media_token_id,
+            answer_id=tok.answer_token_id,
+            endofchunk_id=tok.endofchunk_token_id,
+            pad_id=tok.pad_token_id, use_reweight=True,
+            skip_nonfinite_updates=False, accum_steps=accum,
+        )
+
+    rng = jax.random.PRNGKey(1)
+
+    tr_a = mk_trainer(2)
+    tr_a.optimizer = make_optimizer(
+        tr_a.abstract_params(batch), learning_rate=1e-2,
+        lr_scheduler="constant", total_steps=10, warmup_steps=0,
+    )
+    state_a = tr_a.init_state(rng, batch)
+    state_a, m_a = tr_a.train_step(state_a, batch)
+
+    tr_b = mk_trainer(1)
+    tr_b.optimizer = optax.MultiSteps(
+        make_optimizer(
+            tr_b.abstract_params(batch), learning_rate=1e-2,
+            lr_scheduler="constant", total_steps=10, warmup_steps=0,
+        ),
+        2,
+    )
+    state_b = tr_b.init_state(rng, batch)
+    for i in range(2):
+        mb = {k: np.asarray(v)[i * 4:(i + 1) * 4] for k, v in batch.items()}
+        state_b, m_b = tr_b.train_step(state_b, mb)
+
+    flat_a = jax.tree.leaves(state_a.params)
+    flat_b = jax.tree.leaves(state_b.params)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
+        )

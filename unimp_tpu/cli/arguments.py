@@ -22,6 +22,12 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--logging_steps", type=int, default=100)
     p.add_argument("--batch_size", type=int, default=8)
     p.add_argument("--gradient_accumulation_steps", type=int, default=1)
+    p.add_argument(
+        "--fused_accumulation", action="store_true",
+        help="accumulate gradients by scanning microbatches inside one "
+             "jitted step (single grad buffer) instead of optax.MultiSteps "
+             "— required for grad-accum at 3b scale on one 16 GB chip",
+    )
     p.add_argument("--pretrained_model_name_or_path", type=str,
                    default="4b-instruct",
                    help="variant: debug|small|3b-mpt|4b|4b-instruct|9b")

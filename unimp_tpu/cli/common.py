@@ -109,9 +109,14 @@ def make_dataset(args, tokenizer, split: str, task=None) -> TaskDataset:
 
 
 def make_loader(args, ds, tokenizer, *, train: bool) -> DataLoader:
+    # fused accumulation: the loader yields accum microbatches at once
+    # and the trainer scans them inside one step (Trainer.accum_steps)
+    accum = (getattr(args, "gradient_accumulation_steps", 1)
+             if train and getattr(args, "fused_accumulation", False) else 1)
     return DataLoader(
         ds,
-        batch_size=args.batch_size if train else args.eval_batch_size,
+        batch_size=(args.batch_size * accum if train
+                    else args.eval_batch_size),
         pad_id=tokenizer.pad_token_id,
         shuffle=train,
         seed=args.seed,

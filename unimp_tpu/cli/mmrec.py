@@ -193,6 +193,8 @@ def main(argv=None):
         frozen_dtype=("int8" if args.frozen_int8
                       else "bfloat16" if args.frozen_bf16 else None),
         grad_dtype=("bfloat16" if args.bf16_opt_state else None),
+        accum_steps=(args.gradient_accumulation_steps
+                     if args.fused_accumulation else 1),
     )
 
     rng = jax.random.PRNGKey(args.seed)
@@ -210,7 +212,11 @@ def main(argv=None):
         mu_dtype="bfloat16" if args.bf16_opt_state else None,
         nu_dtype="bfloat16" if args.bf16_opt_state else None,
     )
-    if args.gradient_accumulation_steps > 1:
+    if args.gradient_accumulation_steps > 1 and not args.fused_accumulation:
+        # MultiSteps keeps a second (accumulator) gradient tree; with
+        # --fused_accumulation the trainer scans microbatches inside one
+        # step instead (same math, one grad buffer — the only shape that
+        # fits grad-accum at 3b on a single 16 GB chip)
         import optax
 
         trainer.optimizer = optax.MultiSteps(

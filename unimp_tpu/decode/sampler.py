@@ -55,7 +55,7 @@ class GenerationConfig:
 
 
 def quantize_kv_cache(cache: dict) -> dict:
-    """{"k","v"} [B, S, H, D] -> int8 + per-(position, head) f32 scales.
+    """{"k","v"} [B, H, S, D] -> int8 + per-(head, position) f32 scales.
 
     Written once at prefill, read every decode step — symmetric absmax
     over the head dim keeps attention logits within ~0.5% while halving
@@ -128,23 +128,24 @@ class Generator:
     _ROWS = ("dp", "fsdp")
 
     def _rows(self, tree):
-        """Prompt-side state: rank keys [B], [B,S], [B,S,H], [B,S,H,D]."""
+        """Prompt-side state: rank keys [B], [B,S], [B,H,S], [B,H,S,D]
+        (KV caches are heads-major — see models.lm.init_gen_cache)."""
         if self.mesh is None:
             return tree
         r = self._ROWS
-        spec = {1: (r,), 2: (r, None), 3: (r, None, "tp"),
-                4: (r, None, "tp", None)}
+        spec = {1: (r,), 2: (r, None), 3: (r, "tp", None),
+                4: (r, "tp", None, None)}
         return jax.tree.map(
             lambda a: self._pin(a, spec) if hasattr(a, "ndim") else a, tree
         )
 
     def _rows_gen(self, caches):
-        """Gen-KV caches: [2, B*, g, H] scales and [2, B*, g, H, D] kv —
+        """Gen-KV caches: [2, B*, H, g] scales and [2, B*, H, g, D] kv —
         rows live on axis 1 (K and V are stacked on axis 0)."""
         if self.mesh is None:
             return caches
         r = self._ROWS
-        spec = {4: (None, r, None, "tp"), 5: (None, r, None, "tp", None)}
+        spec = {4: (None, r, "tp", None), 5: (None, r, "tp", None, None)}
         return jax.tree.map(
             lambda a: self._pin(a, spec) if hasattr(a, "ndim") else a, caches
         )

@@ -222,11 +222,12 @@ class Attention(nn.Module):
     ):
         """Returns (out [B, S, out_dim], cache_or_None).
 
-        decode_state (self-attn decode): {"prompt": {"k","v"} [B,T,..],
-        "gen": {"k","v"} [BK,G,..], "step": scalar tokens generated so
-        far (current token excluded), "kv_start": [B]}.
-        xattn_cache (cross-attn decode): {"k","v"} [B,S,..] projected
-        latents; xattn_allowed: [B, S] mask.
+        decode_state (self-attn decode): {"prompt": {"k","v"}
+        [B,Hkv,T,D], "gen": {"kv"} [2,BK,Hkv,G,D], "step": scalar tokens
+        generated so far (current token excluded), "kv_start": [B]}.
+        xattn_cache (cross-attn decode): {"k","v"} [B,Hkv,S,D] projected
+        latents; xattn_allowed: [B, S] mask. All decode caches are
+        heads-major (see init_gen_cache).
         """
         h, d = self.num_heads, self.head_dim
         hkv = self.num_kv_heads or h
@@ -294,7 +295,9 @@ class Attention(nn.Module):
             step = decode_state["step"]
             gen = decode_state["gen"]
             cache = gen["kv"]
-            kv_new = jnp.stack([k, v], axis=0)
+            # caches are heads-major ([.., Hkv, S, D] — see init_gen_cache
+            # for why); the new token arrives [2, B*, 1, Hkv, D]
+            kv_new = jnp.stack([k, v], axis=0).transpose(0, 1, 3, 2, 4)
             if cache.dtype == jnp.int8:
                 # int8 gen cache: quantize the new token per (k/v, head)
                 # and dequantize the whole cache at read — XLA fuses the
@@ -308,18 +311,18 @@ class Attention(nn.Module):
                     -127, 127,
                 ).astype(jnp.int8)
                 gen_q8 = jax.lax.dynamic_update_slice(
-                    cache, q8, (0, 0, step, 0, 0)
+                    cache, q8, (0, 0, 0, step, 0)
                 )
                 scales = jax.lax.dynamic_update_slice(
                     gen["scale"],
                     kv_scale[..., 0].astype(gen["scale"].dtype),
-                    (0, 0, step, 0),
+                    (0, 0, 0, step),
                 )
                 gen_kv = gen_q8.astype(x.dtype) * scales[..., None].astype(x.dtype)
                 new_cache = {"kv": gen_q8, "scale": scales}
             else:
                 gen_kv = jax.lax.dynamic_update_slice(
-                    cache, kv_new.astype(cache.dtype), (0, 0, step, 0, 0)
+                    cache, kv_new.astype(cache.dtype), (0, 0, 0, step, 0)
                 )
                 new_cache = {"kv": gen_kv}
             prompt_k = decode_state["prompt"]["k"]
@@ -356,5 +359,11 @@ class Attention(nn.Module):
         out = multi_head_attention(
             q, k, v, mask, kv_len=kv_len, kv_start=kv_start, alibi=alibi,
         )
-        cache = {"k": k, "v": v} if return_cache else None
+        # decode caches are stored heads-major [B, Hkv, S, D] — one
+        # transpose at prefill, amortized over every decode step (see
+        # init_gen_cache / ops.decode_attention_pallas for why)
+        cache = (
+            {"k": k.transpose(0, 2, 1, 3), "v": v.transpose(0, 2, 1, 3)}
+            if return_cache else None
+        )
         return o_proj(out), cache

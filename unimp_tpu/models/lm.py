@@ -81,14 +81,20 @@ class DecoderBlock(nn.Module):
 def init_gen_cache(batch: int, max_new: int, cfg: LMConfig, dtype=jnp.bfloat16,
                    quantized: bool = False):
     """Per-layer generated-token KV cache, K and V merged into one array
-    [2, B*, max_new, Hkv, D] so the per-step beam reorder and cache write
+    [2, B*, Hkv, max_new, D] so the per-step beam reorder and cache write
     are ONE kernel each per layer instead of two (decode is
     kernel-launch bound on small steps).
 
-    quantized: int8 storage + per-(position, head) f32 scales — decode
+    Heads-major ([.., Hkv, max_new, D], not [.., max_new, Hkv, D]): the
+    fused Pallas decode kernel blocks one (batch, head) slab per grid
+    step, and Pallas can only slice the last two array dims at tile
+    granularity — the head axis must sit ahead of (seq, head_dim). XLA's
+    einsum path is layout-neutral here (benchmarks/attn_layout_probe.py).
+
+    quantized: int8 storage + per-(head, position) f32 scales — decode
     streams the whole padded cache every step, so halving its bytes
     shaves HBM-bound step time (see decode_attention docstring)."""
-    shape = (2, batch, max_new, cfg.kv_heads, cfg.head_dim)
+    shape = (2, batch, cfg.kv_heads, max_new, cfg.head_dim)
     if quantized:
         return {
             "kv": jnp.zeros(shape, jnp.int8),

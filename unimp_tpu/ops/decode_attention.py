@@ -15,9 +15,15 @@ This op splits the cache:
                              reordered per step (tiny)
 
 and computes single-query attention as two partial attentions merged by
-their logsumexps (the flash-attention combine identity). All math is
-plain XLA einsums — a batched GEMV the TPU backend fuses well; the
-Pallas flash kernel stays the prefill/training path.
+their logsumexps (the flash-attention combine identity).
+
+Caches are heads-major: prompt [B, Hkv, T, D], gen [BK, Hkv, G, D] —
+the layout the fused Pallas kernel requires (it blocks one (batch,
+head) slab per grid step and Pallas can only slice the last two array
+dims; see ops/decode_attention_pallas.py). On TPU the default impl is
+that kernel (softmax intermediates never touch HBM); elsewhere (and for
+int8 caches) the XLA einsum path below computes identical math. Pin
+with impl=/UNIMP_DECODE_IMPL ("pallas" | "xla").
 
 ALiBi biases use consistent absolute positions across both segments so
 the merge weights are exact.
@@ -35,21 +41,21 @@ NEG_INF = -1e30
 
 
 def _expand_kv(k, v, h):
-    hkv = k.shape[-2]
+    hkv = k.shape[1]
     if hkv != h:
         rep = h // hkv
-        k = jnp.repeat(k, rep, axis=-2)
-        v = jnp.repeat(v, rep, axis=-2)
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
     return k, v
 
 
 def _beam_segment_attn(q, k, v, mask, scale, bias=None):
-    """q [B, K, H, D]; k,v [B, S, H, D]; mask [B, S]; bias [B?|1, H, S].
+    """q [B, K, H, D]; k,v [B, H, S, D]; mask [B, S]; bias [B?|1, H, S].
 
     Returns (out [B, K, H, D] f32 UNnormalized, m [B, K, H], l [B, K, H]).
     """
     logits = jnp.einsum(
-        "bkhd,bshd->bkhs", q, k, preferred_element_type=jnp.float32
+        "bkhd,bhsd->bkhs", q, k, preferred_element_type=jnp.float32
     ) * scale
     if bias is not None:
         logits = logits + bias[:, None, :, :]
@@ -59,7 +65,7 @@ def _beam_segment_attn(q, k, v, mask, scale, bias=None):
     p = jnp.where(mask[:, None, None, :], p, 0.0)
     l = jnp.sum(p, axis=-1)
     out = jnp.einsum(
-        "bkhs,bshd->bkhd", p.astype(v.dtype), v,
+        "bkhs,bhsd->bkhd", p.astype(v.dtype), v,
         preferred_element_type=jnp.float32,
     )
     return out, m, l
@@ -78,13 +84,13 @@ def _chunked_gen_segment(q_r, gk, gv, sel, step, scale, alibi, t, q_abs,
     while_loop) and merges chunks by streaming logsumexp, the same
     flash-attention identity the prompt/gen merge already uses.
 
-    q_r [B, K, H, D]; gk/gv [B, P, G, H, D]; sel [B, K, G] local ancestor
+    q_r [B, K, H, D]; gk/gv [B, P, H, G, D]; sel [B, K, G] local ancestor
     beam per column (all-zeros with P=1 covers the no-beam layout).
     Returns (out [B,K,H,D] f32 UNnormalized, m [B,K,H], l [B,K,H]).
     """
     b, kb, h, d = q_r.shape
     p_ = gk.shape[1]
-    g = gk.shape[2]
+    g = gk.shape[3]
     n_chunks = (step + chunk - 1) // chunk
     m0 = jnp.full((b, kb, h), NEG_INF, jnp.float32)
     l0 = jnp.zeros((b, kb, h), jnp.float32)
@@ -96,13 +102,13 @@ def _chunked_gen_segment(q_r, gk, gv, sel, step, scale, alibi, t, q_abs,
         # pos >= ci*chunk guard keeps overlapped columns from double
         # counting
         start = jnp.minimum(ci * chunk, g - chunk)
-        ks = jax.lax.dynamic_slice_in_dim(gk, start, chunk, axis=2)
-        vs = jax.lax.dynamic_slice_in_dim(gv, start, chunk, axis=2)
+        ks = jax.lax.dynamic_slice_in_dim(gk, start, chunk, axis=3)
+        vs = jax.lax.dynamic_slice_in_dim(gv, start, chunk, axis=3)
         sc = jax.lax.dynamic_slice_in_dim(sel, start, chunk, axis=2)
         pos = start + jnp.arange(chunk, dtype=jnp.int32)  # [C] actual cols
         valid = (pos >= ci * chunk) & (pos < step)
         logits_all = jnp.einsum(
-            "bkhd,bpchd->bkpch", q_r, ks, preferred_element_type=jnp.float32
+            "bkhd,bphcd->bkpch", q_r, ks, preferred_element_type=jnp.float32
         ) * scale
         onehot = (
             sc[:, :, None, :]
@@ -124,7 +130,7 @@ def _chunked_gen_segment(q_r, gk, gv, sel, step, scale, alibi, t, q_abs,
         l = l * alpha + jnp.sum(p, axis=2)
         p_sel = p[:, :, None] * onehot[..., None]  # [B, K, P, C, H]
         o_c = jnp.einsum(
-            "bkpch,bpchd->bkhd", p_sel.astype(vs.dtype), vs,
+            "bkpch,bphcd->bkhd", p_sel.astype(vs.dtype), vs,
             preferred_element_type=jnp.float32,
         )
         o = o * alpha[..., None] + o_c
@@ -136,7 +142,7 @@ def _chunked_gen_segment(q_r, gk, gv, sel, step, scale, alibi, t, q_abs,
 
 def single_query_attention(
     q: jax.Array,  # [BK, H, D]
-    k: jax.Array,  # [B, S, Hkv, D] (shared across the K beams of a row)
+    k: jax.Array,  # [B, Hkv, S, D] (shared across the K beams of a row)
     v: jax.Array,
     mask: jax.Array,  # [B, S] bool, True = allowed
     scale: Optional[float] = None,
@@ -148,7 +154,7 @@ def single_query_attention(
     read once per row rather than once per beam.
     """
     bk, h, d = q.shape
-    b, s = k.shape[:2]
+    b, _, s = k.shape[:3]
     k, v = _expand_kv(k, v, h)
     if scale is None:
         scale = 1.0 / (d**0.5)
@@ -161,9 +167,9 @@ def single_query_attention(
 
 def decode_attention(
     q: jax.Array,  # [BK, H, D] current-step queries (RoPE already applied)
-    prompt_k: jax.Array,  # [B, T, Hkv, D]
+    prompt_k: jax.Array,  # [B, Hkv, T, D]
     prompt_v: jax.Array,
-    gen_k: jax.Array,  # [BK, G, Hkv, D] (this step's k/v already written)
+    gen_k: jax.Array,  # [BK, Hkv, G, D] (this step's k/v already written)
     gen_v: jax.Array,
     *,
     step: jax.Array,  # scalar: tokens generated so far INCLUDING current
@@ -173,6 +179,7 @@ def decode_attention(
     scale: Optional[float] = None,
     beam_sel: Optional[jax.Array] = None,  # [BK, G] local ancestor beam
     gen_chunk: Optional[int] = None,  # None=auto, 0=full-width read
+    impl: Optional[str] = None,  # None=auto ("pallas" on TPU), "xla"
 ) -> jax.Array:
     """Returns [BK, H, D] attention outputs in q.dtype.
 
@@ -185,9 +192,23 @@ def decode_attention(
     K=10 (the extra FLOPs are noise next to the HBM stream).
     """
     bk, h, d = q.shape
-    b, t = prompt_k.shape[:2]
-    g = gen_k.shape[1]
+    b, _, t = prompt_k.shape[:3]
+    g = gen_k.shape[2]
     k_beams = bk // b
+    if impl is None:
+        impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from unimp_tpu.ops.decode_attention_pallas import (
+            pallas_decode_attention,
+        )
+
+        return pallas_decode_attention(
+            q, prompt_k, prompt_v, gen_k, gen_v, step=step,
+            kv_start=kv_start, prompt_len=prompt_len, alibi=alibi,
+            scale=scale, beam_sel=beam_sel,
+        )
     prompt_k, prompt_v = _expand_kv(prompt_k, prompt_v, h)
     gen_k, gen_v = _expand_kv(gen_k, gen_v, h)
     if scale is None:
@@ -219,14 +240,14 @@ def decode_attention(
     if gen_chunk:
         gen_chunk = min(gen_chunk, g)
         if beam_sel is not None:
-            gk5 = gen_k.reshape(b, k_beams, g, h, d)
-            gv5 = gen_v.reshape(b, k_beams, g, h, d)
+            gk5 = gen_k.reshape(b, k_beams, h, g, d)
+            gv5 = gen_v.reshape(b, k_beams, h, g, d)
             sel = beam_sel.reshape(b, k_beams, g)
             out_g, m_g, l_g = _chunked_gen_segment(
                 q_r, gk5, gv5, sel, step, scale, alibi, t, q_abs, gen_chunk
             )
         else:
-            gk5 = gen_k[:, None]  # [BK, 1, G, H, D]
+            gk5 = gen_k[:, None]  # [BK, 1, H, G, D]
             gv5 = gen_v[:, None]
             sel = jnp.zeros((bk, 1, g), jnp.int32)
             out_f, m_f, l_f = _chunked_gen_segment(
@@ -260,10 +281,10 @@ def decode_attention(
         l_g = l_g.reshape(b, k_beams, h)
     else:
         # ancestry via one-hot contraction over the row's K beams
-        gk = gen_k.reshape(b, k_beams, g, h, d)
-        gv = gen_v.reshape(b, k_beams, g, h, d)
+        gk = gen_k.reshape(b, k_beams, h, g, d)
+        gv = gen_v.reshape(b, k_beams, h, g, d)
         logits_all = jnp.einsum(
-            "bkhd,bpghd->bkpgh", q_r, gk, preferred_element_type=jnp.float32
+            "bkhd,bphgd->bkpgh", q_r, gk, preferred_element_type=jnp.float32
         ) * scale  # [B, K, P(ancestor beam), G, H]
         sel = beam_sel.reshape(b, k_beams, g)
         onehot = (
@@ -283,7 +304,7 @@ def decode_attention(
         l_g = jnp.sum(p, axis=2)  # [B, K, H]
         p_sel = p[:, :, None] * onehot[..., None]  # [B, K, P, G, H]
         out_g = jnp.einsum(
-            "bkpgh,bpghd->bkhd", p_sel.astype(gv.dtype), gv,
+            "bkpgh,bphgd->bkhd", p_sel.astype(gv.dtype), gv,
             preferred_element_type=jnp.float32,
         )
 
