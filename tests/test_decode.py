@@ -409,3 +409,31 @@ def test_pallas_decode_attention_prompt_len_and_jit():
             np.asarray(run(jnp.int32(s))), np.asarray(ref),
             rtol=2e-5, atol=2e-5,
         )
+
+
+@pytest.mark.parametrize("kb,gqa", [(1, False), (3, False), (3, True)])
+def test_pallas_single_query_attention_matches_xla(kb, gqa):
+    """The prompt-only fused kernel (gated-xattn decode) must match the
+    XLA path incl. GQA, arbitrary boolean masks, and all-masked rows
+    (no-media batch rows attend to nothing and return zeros)."""
+    from unimp_tpu.ops.decode_attention import single_query_attention
+    from unimp_tpu.ops.decode_attention_pallas import (
+        pallas_single_query_attention,
+    )
+
+    b, s, h, d = 3, 24, 4, 16
+    hkv = 2 if gqa else h
+    bk = b * kb
+    rng = jax.random.PRNGKey(kb)
+    keys = jax.random.split(rng, 4)
+    q = jax.random.normal(keys[0], (bk, h, d), jnp.float32)
+    k = jax.random.normal(keys[1], (b, hkv, s, d), jnp.float32)
+    v = jax.random.normal(keys[2], (b, hkv, s, d), jnp.float32)
+    mask = jax.random.bernoulli(keys[3], 0.7, (b, s))
+    mask = mask.at[0].set(False)  # row with no media latents at all
+
+    ref = single_query_attention(q, k, v, mask, impl="xla")
+    got = pallas_single_query_attention(q, k, v, mask)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

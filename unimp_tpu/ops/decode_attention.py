@@ -146,13 +146,26 @@ def single_query_attention(
     v: jax.Array,
     mask: jax.Array,  # [B, S] bool, True = allowed
     scale: Optional[float] = None,
+    impl: Optional[str] = None,  # None=auto ("pallas" on TPU), "xla"
 ) -> jax.Array:
     """Single-segment single-query attention with beam-shared KV.
 
     Used for decode-time gated cross-attention: the projected media
     latents are identical for all beams of a batch row, so the KV is
-    read once per row rather than once per beam.
+    read once per row rather than once per beam. On TPU this runs the
+    fused prompt-only Pallas kernel (softmax stays in VMEM); pin with
+    impl=/UNIMP_DECODE_IMPL.
     """
+    if impl is None:
+        impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
+    if impl == "auto":
+        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if impl == "pallas":
+        from unimp_tpu.ops.decode_attention_pallas import (
+            pallas_single_query_attention,
+        )
+
+        return pallas_single_query_attention(q, k, v, mask, scale=scale)
     bk, h, d = q.shape
     b, _, s = k.shape[:3]
     k, v = _expand_kv(k, v, h)

@@ -221,3 +221,74 @@ def pallas_decode_attention(
         interpret=interpret,
     )(q_r, prompt_k, prompt_v, gk, gv, sel, step_arr, bounds, slopes)
     return out.transpose(0, 2, 1, 3).reshape(bk, h, d)
+
+
+def _prompt_only_kernel(
+    q_ref,        # [1, 1, K, D]
+    k_ref,        # [1, 1, S, D]
+    v_ref,        # [1, 1, S, D]
+    allowed_ref,  # [1, S] int32 (nonzero = attend)
+    o_ref,        # [1, 1, K, D]
+    *,
+    scale: float,
+):
+    q = q_ref[0, 0]  # [K, D]
+    logits = jax.lax.dot_general(
+        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ) * scale  # [K, S]
+    allowed = allowed_ref[...] != 0  # [1, S], broadcasts over K
+    logits = jnp.where(allowed, logits, NEG_INF)
+    m = jnp.max(logits, axis=1)
+    p = jnp.exp(logits - m[:, None])
+    p = jnp.where(allowed, p, 0.0)
+    l = jnp.sum(p, axis=1)
+    o = jax.lax.dot_general(
+        p.astype(q.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # [K, D]
+    denom = jnp.where(l > 0, l, 1.0)  # all-masked row (no media) -> zeros
+    o_ref[0, 0] = (o / denom[:, None]).astype(o_ref.dtype)
+
+
+def pallas_single_query_attention(
+    q: jax.Array,     # [BK, H, D] current-step queries
+    k: jax.Array,     # [B, Hkv, S, D] heads-major, shared across K beams
+    v: jax.Array,
+    mask: jax.Array,  # [B, S] bool, True = allowed
+    *,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jax.Array:
+    """Fused single-segment decode attention (gated cross-attention path:
+    the projected media latents are the whole KV; no gen cache). Same
+    VMEM-resident softmax argument as the split-cache kernel above —
+    the HBM stream is the latent KV bytes, not the [K, S] f32
+    intermediates. Returns [BK, H, D] in q.dtype."""
+    if interpret is None:
+        interpret = _interpret_default()
+    bk, h, d = q.shape
+    b, hkv, s = k.shape[:3]
+    kb = bk // b
+    if scale is None:
+        scale = 1.0 / (d**0.5)
+    q_r = q.reshape(b, kb, h, d).transpose(0, 2, 1, 3)  # [B, H, K, D]
+    allowed = mask.astype(jnp.int32)
+    kv_head = lambda b_i, h_i: (h_i * hkv) // h  # noqa: E731
+    out = pl.pallas_call(
+        functools.partial(_prompt_only_kernel, scale=scale),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, kb, d), lambda i, j: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, kv_head(i, j), 0, 0)),
+            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, kv_head(i, j), 0, 0)),
+            pl.BlockSpec((1, s), lambda i, j: (i, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, kb, d), lambda i, j: (i, j, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, kb, d), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+        ),
+        interpret=interpret,
+    )(q_r, k, v, allowed)
+    return out.transpose(0, 2, 1, 3).reshape(bk, h, d)
