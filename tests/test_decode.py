@@ -437,3 +437,35 @@ def test_pallas_single_query_attention_matches_xla(kb, gqa):
     np.testing.assert_allclose(
         np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5
     )
+
+
+def test_model_decode_with_pallas_impl_matches_xla(model_and_params,
+                                                   monkeypatch):
+    """End-to-end beam generate with UNIMP_DECODE_IMPL=pallas (interpret
+    mode on CPU) must produce the same beams as the XLA dispatch — the
+    integration check for the fused kernels behind the full layers path
+    (heads-major caches, xattn latents, left-aligned prompts, ragged
+    lengths)."""
+    cfg, model, params = model_and_params
+    rng = np.random.default_rng(11)
+    b, m, img = 2, 2, cfg.vision.image_size
+    vision = rng.normal(size=(b, m, img, img, 3)).astype(np.float32)
+    ids = rng.integers(10, cfg.lm.vocab_size, size=(b, 12)).astype(np.int32)
+    ids[:, 1] = 7
+    ids[:, 6] = 7
+    seq_len = jnp.asarray([12, 9], np.int32)  # ragged: row 1 is shorter
+    latents = model.apply(
+        {"params": params}, jnp.asarray(vision), method=UniMPModel.encode_vision
+    )
+    gcfg = GenerationConfig(max_new_tokens=5, eos_id=3, pad_id=0,
+                            num_beams=3, num_return_sequences=3)
+
+    outs = {}
+    for impl in ("xla", "pallas"):
+        monkeypatch.setenv("UNIMP_DECODE_IMPL", impl)
+        gen = Generator(model, gcfg, media_id=7)
+        toks, scores = gen.generate(params, jnp.asarray(ids), seq_len, latents)
+        outs[impl] = (np.asarray(toks), np.asarray(scores))
+    np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
+    np.testing.assert_allclose(outs["xla"][1], outs["pallas"][1],
+                               rtol=1e-4, atol=1e-4)
