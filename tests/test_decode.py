@@ -469,3 +469,104 @@ def test_model_decode_with_pallas_impl_matches_xla(model_and_params,
     np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
     np.testing.assert_allclose(outs["xla"][1], outs["pallas"][1],
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("step", [1, 29])
+def test_pallas_decode_attention_int8_matches_xla(step):
+    """int8 KV caches with in-kernel dequant (scales fold into logits /
+    softmax weights) must match the XLA dequantize-then-attend path."""
+    from unimp_tpu.decode.sampler import quantize_kv_cache
+    from unimp_tpu.ops.decode_attention import decode_attention
+
+    b, k_beams, t, g, h, d = 2, 3, 16, 32, 4, 16
+    rng = jax.random.PRNGKey(step)
+    keys = jax.random.split(rng, 7)
+    bk = b * k_beams
+    q = jax.random.normal(keys[0], (bk, h, d), jnp.float32)
+    prompt = quantize_kv_cache({
+        "k": jax.random.normal(keys[1], (b, h, t, d), jnp.float32),
+        "v": jax.random.normal(keys[2], (b, h, t, d), jnp.float32),
+    })
+    gen = quantize_kv_cache({
+        "k": jax.random.normal(keys[3], (bk, h, g, d), jnp.float32),
+        "v": jax.random.normal(keys[4], (bk, h, g, d), jnp.float32),
+    })
+    kv_start = jax.random.randint(keys[5], (b,), 0, t // 2)
+    sel = jax.random.randint(keys[6], (bk, g), 0, k_beams)
+
+    kwargs = dict(
+        step=jnp.int32(step), kv_start=kv_start, beam_sel=sel,
+        prompt_k_scale=prompt["k_scale"], prompt_v_scale=prompt["v_scale"],
+        gen_k_scale=gen["k_scale"], gen_v_scale=gen["v_scale"],
+    )
+    ref = decode_attention(q, prompt["k"], prompt["v"], gen["k"], gen["v"],
+                           gen_chunk=0, impl="xla", **kwargs)
+    got = decode_attention(q, prompt["k"], prompt["v"], gen["k"], gen["v"],
+                           impl="pallas", **kwargs)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+    # and against the unquantized ground truth: dequant error only
+    pk = prompt["k"].astype(jnp.float32) * prompt["k_scale"][..., None]
+    pv = prompt["v"].astype(jnp.float32) * prompt["v_scale"][..., None]
+    gk = gen["k"].astype(jnp.float32) * gen["k_scale"][..., None]
+    gv = gen["v"].astype(jnp.float32) * gen["v_scale"][..., None]
+    full = decode_attention(q, pk, pv, gk, gv, gen_chunk=0, impl="xla",
+                            step=jnp.int32(step), kv_start=kv_start,
+                            beam_sel=sel)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(full), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_pallas_single_query_attention_int8_matches_xla():
+    from unimp_tpu.decode.sampler import quantize_kv_cache
+    from unimp_tpu.ops.decode_attention import single_query_attention
+
+    b, kb, s, h, d = 2, 3, 24, 4, 16
+    rng = jax.random.PRNGKey(0)
+    keys = jax.random.split(rng, 4)
+    q = jax.random.normal(keys[0], (b * kb, h, d), jnp.float32)
+    kv = quantize_kv_cache({
+        "k": jax.random.normal(keys[1], (b, h, s, d), jnp.float32),
+        "v": jax.random.normal(keys[2], (b, h, s, d), jnp.float32),
+    })
+    mask = jax.random.bernoulli(keys[3], 0.7, (b, s))
+
+    ref = single_query_attention(q, kv["k"], kv["v"], mask,
+                                 k_scale=kv["k_scale"],
+                                 v_scale=kv["v_scale"], impl="xla")
+    got = single_query_attention(q, kv["k"], kv["v"], mask,
+                                 k_scale=kv["k_scale"],
+                                 v_scale=kv["v_scale"], impl="pallas")
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), rtol=2e-2, atol=2e-2
+    )
+
+
+def test_model_decode_kv_int8_pallas_impl(model_and_params, monkeypatch):
+    """kv_int8 generate under the pallas pin: in-kernel dequant must keep
+    the beams the XLA int8 dispatch produces."""
+    cfg, model, params = model_and_params
+    rng = np.random.default_rng(17)
+    b, m, img = 2, 2, cfg.vision.image_size
+    vision = rng.normal(size=(b, m, img, img, 3)).astype(np.float32)
+    ids = rng.integers(10, cfg.lm.vocab_size, size=(b, 12)).astype(np.int32)
+    ids[:, 1] = 7
+    ids[:, 6] = 7
+    seq_len = jnp.asarray([12, 10], np.int32)
+    latents = model.apply(
+        {"params": params}, jnp.asarray(vision), method=UniMPModel.encode_vision
+    )
+    gcfg = GenerationConfig(max_new_tokens=5, eos_id=3, pad_id=0,
+                            num_beams=3, num_return_sequences=3,
+                            kv_int8=True)
+    outs = {}
+    for impl in ("xla", "pallas"):
+        monkeypatch.setenv("UNIMP_DECODE_IMPL", impl)
+        gen = Generator(model, gcfg, media_id=7)
+        toks, scores = gen.generate(params, jnp.asarray(ids), seq_len, latents)
+        outs[impl] = (np.asarray(toks), np.asarray(scores))
+    np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
+    np.testing.assert_allclose(outs["xla"][1], outs["pallas"][1],
+                               rtol=1e-3, atol=1e-3)

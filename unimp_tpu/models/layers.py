@@ -245,11 +245,11 @@ class Attention(nn.Module):
         # ---- cross-attention decode against cached projected latents
         if xattn_cache is not None:
             q = q_p(x)
-            xk, xv = xattn_cache["k"], xattn_cache["v"]
-            if "k_scale" in xattn_cache:  # int8 latent KV (see quantize_kv)
-                xk = xk.astype(x.dtype) * xattn_cache["k_scale"][..., None].astype(x.dtype)
-                xv = xv.astype(x.dtype) * xattn_cache["v_scale"][..., None].astype(x.dtype)
-            out = single_query_attention(q[:, 0], xk, xv, xattn_allowed)
+            out = single_query_attention(
+                q[:, 0], xattn_cache["k"], xattn_cache["v"], xattn_allowed,
+                k_scale=xattn_cache.get("k_scale"),  # int8 latent KV
+                v_scale=xattn_cache.get("v_scale"),
+            )
             return o_proj(out[:, None]), None
 
         kv_src = x if kv_x is None else kv_x
@@ -298,11 +298,12 @@ class Attention(nn.Module):
             # caches are heads-major ([.., Hkv, S, D] — see init_gen_cache
             # for why); the new token arrives [2, B*, 1, Hkv, D]
             kv_new = jnp.stack([k, v], axis=0).transpose(0, 1, 3, 2, 4)
+            gen_scales = (None, None)
             if cache.dtype == jnp.int8:
-                # int8 gen cache: quantize the new token per (k/v, head)
-                # and dequantize the whole cache at read — XLA fuses the
-                # convert+scale into the attention contractions, so the
-                # HBM stream is the int8 bytes
+                # int8 gen cache: quantize the new token per (k/v, head);
+                # the raw int8 cache + scales flow into decode_attention,
+                # which dequantizes in VMEM (Pallas) or fused (XLA) — the
+                # HBM stream is the int8 bytes either way
                 amax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)),
                                axis=-1, keepdims=True)
                 kv_scale = jnp.maximum(amax, 1e-8) / 127.0
@@ -310,7 +311,7 @@ class Attention(nn.Module):
                     jnp.round(kv_new.astype(jnp.float32) / kv_scale),
                     -127, 127,
                 ).astype(jnp.int8)
-                gen_q8 = jax.lax.dynamic_update_slice(
+                gen_kv = jax.lax.dynamic_update_slice(
                     cache, q8, (0, 0, 0, step, 0)
                 )
                 scales = jax.lax.dynamic_update_slice(
@@ -318,8 +319,8 @@ class Attention(nn.Module):
                     kv_scale[..., 0].astype(gen["scale"].dtype),
                     (0, 0, 0, step),
                 )
-                gen_kv = gen_q8.astype(x.dtype) * scales[..., None].astype(x.dtype)
-                new_cache = {"kv": gen_q8, "scale": scales}
+                gen_scales = (scales[0], scales[1])
+                new_cache = {"kv": gen_kv, "scale": scales}
             else:
                 gen_kv = jax.lax.dynamic_update_slice(
                     cache, kv_new.astype(cache.dtype), (0, 0, 0, step, 0)
@@ -327,11 +328,8 @@ class Attention(nn.Module):
                 new_cache = {"kv": gen_kv}
             prompt_k = decode_state["prompt"]["k"]
             prompt_v = decode_state["prompt"]["v"]
-            if "k_scale" in decode_state["prompt"]:  # int8 prompt KV
-                p_ks = decode_state["prompt"]["k_scale"]
-                p_vs = decode_state["prompt"]["v_scale"]
-                prompt_k = prompt_k.astype(x.dtype) * p_ks[..., None].astype(x.dtype)
-                prompt_v = prompt_v.astype(x.dtype) * p_vs[..., None].astype(x.dtype)
+            prompt_scales = (decode_state["prompt"].get("k_scale"),
+                             decode_state["prompt"].get("v_scale"))
             gen_index = decode_state.get("gen_index")
             beam_sel = None
             if gen_index is not None:
@@ -352,6 +350,10 @@ class Attention(nn.Module):
                 kv_start=decode_state.get("kv_start"),
                 alibi=alibi,
                 beam_sel=beam_sel,
+                prompt_k_scale=prompt_scales[0],
+                prompt_v_scale=prompt_scales[1],
+                gen_k_scale=gen_scales[0],
+                gen_v_scale=gen_scales[1],
             )
             return o_proj(out[:, None]), new_cache
 

@@ -146,6 +146,8 @@ def single_query_attention(
     v: jax.Array,
     mask: jax.Array,  # [B, S] bool, True = allowed
     scale: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,  # [B, Hkv, S]: int8 latent KV
+    v_scale: Optional[jax.Array] = None,
     impl: Optional[str] = None,  # None=auto ("pallas" on TPU), "xla"
 ) -> jax.Array:
     """Single-segment single-query attention with beam-shared KV.
@@ -154,7 +156,7 @@ def single_query_attention(
     latents are identical for all beams of a batch row, so the KV is
     read once per row rather than once per beam. On TPU this runs the
     fused prompt-only Pallas kernel (softmax stays in VMEM); pin with
-    impl=/UNIMP_DECODE_IMPL.
+    impl=/UNIMP_DECODE_IMPL. int8 latents: pass raw int8 + k/v_scale.
     """
     if impl is None:
         impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
@@ -165,9 +167,13 @@ def single_query_attention(
             pallas_single_query_attention,
         )
 
-        return pallas_single_query_attention(q, k, v, mask, scale=scale)
+        return pallas_single_query_attention(
+            q, k, v, mask, scale=scale, k_scale=k_scale, v_scale=v_scale)
     bk, h, d = q.shape
     b, _, s = k.shape[:3]
+    if k_scale is not None:  # XLA impl: dequantize, fused downstream
+        k = k.astype(q.dtype) * k_scale[..., None].astype(q.dtype)
+        v = v.astype(q.dtype) * v_scale[..., None].astype(q.dtype)
     k, v = _expand_kv(k, v, h)
     if scale is None:
         scale = 1.0 / (d**0.5)
@@ -191,6 +197,10 @@ def decode_attention(
     alibi: Optional[jax.Array] = None,  # [H] slopes
     scale: Optional[float] = None,
     beam_sel: Optional[jax.Array] = None,  # [BK, G] local ancestor beam
+    prompt_k_scale: Optional[jax.Array] = None,  # [B, Hkv, T]: int8 caches
+    prompt_v_scale: Optional[jax.Array] = None,
+    gen_k_scale: Optional[jax.Array] = None,     # [BK, Hkv, G]
+    gen_v_scale: Optional[jax.Array] = None,
     gen_chunk: Optional[int] = None,  # None=auto, 0=full-width read
     impl: Optional[str] = None,  # None=auto ("pallas" on TPU), "xla"
 ) -> jax.Array:
@@ -203,6 +213,11 @@ def decode_attention(
     randomly addresses) the whole [BK, G] cache per layer per step —
     measured ~10x slower than the contiguous reads + K-fold einsum at
     K=10 (the extra FLOPs are noise next to the HBM stream).
+
+    int8 caches: pass the raw int8 arrays plus the four ``*_scale``
+    trees — the Pallas impl dequantizes in VMEM (the int8 bytes are the
+    whole HBM stream); the XLA impl dequantizes here, fused by XLA into
+    the contractions.
     """
     bk, h, d = q.shape
     b, _, t = prompt_k.shape[:3]
@@ -221,7 +236,15 @@ def decode_attention(
             q, prompt_k, prompt_v, gen_k, gen_v, step=step,
             kv_start=kv_start, prompt_len=prompt_len, alibi=alibi,
             scale=scale, beam_sel=beam_sel,
+            prompt_k_scale=prompt_k_scale, prompt_v_scale=prompt_v_scale,
+            gen_k_scale=gen_k_scale, gen_v_scale=gen_v_scale,
         )
+    if prompt_k_scale is not None:  # XLA impl: dequantize up front
+        cd = q.dtype
+        prompt_k = prompt_k.astype(cd) * prompt_k_scale[..., None].astype(cd)
+        prompt_v = prompt_v.astype(cd) * prompt_v_scale[..., None].astype(cd)
+        gen_k = gen_k.astype(cd) * gen_k_scale[..., None].astype(cd)
+        gen_v = gen_v.astype(cd) * gen_v_scale[..., None].astype(cd)
     prompt_k, prompt_v = _expand_kv(prompt_k, prompt_v, h)
     gen_k, gen_v = _expand_kv(gen_k, gen_v, h)
     if scale is None:

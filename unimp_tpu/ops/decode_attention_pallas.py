@@ -52,24 +52,28 @@ NEG_INF = -1e30
 
 def _kernel(
     q_ref,       # [1, 1, K, D]
-    kp_ref,      # [1, 1, T, D]
+    kp_ref,      # [1, 1, T, D] (int8 when quantized)
     vp_ref,      # [1, 1, T, D]
-    gk_ref,      # [1, K, 1, G, D]
+    gk_ref,      # [1, K, 1, G, D] (int8 when quantized)
     gv_ref,      # [1, K, 1, G, D]
-    sel_ref,     # [1, K, G] int32
-    step_ref,    # SMEM [1] int32: valid gen columns (incl. current)
-    bounds_ref,  # SMEM [B, 2] int32: (kv_start, prompt_len)
-    slopes_ref,  # SMEM [H] f32 (or None)
-    o_ref,       # [1, 1, K, D]
-    *,
+    *rest,       # quantized: kps,vps [1,1,T] + gks,gvs [1,1,K,G] f32 —
+                 # then sel [1,K,G] i32; step SMEM [1] i32;
+                 # bounds SMEM [B,2] i32; slopes SMEM [H] f32; o [1,1,K,D]
     scale: float,
     kb: int,
     t: int,
     g: int,
     has_alibi: bool,
     has_bounds: bool,
+    quantized: bool,
     interp: bool,
 ):
+    if quantized:
+        (kps_ref, vps_ref, gks_ref, gvs_ref,
+         sel_ref, step_ref, bounds_ref, slopes_ref, o_ref) = rest
+    else:
+        sel_ref, step_ref, bounds_ref, slopes_ref, o_ref = rest
+        kps_ref = vps_ref = gks_ref = gvs_ref = None
     b_i = pl.program_id(0)
     h_i = pl.program_id(1)
     step = _read_smem_scalar(step_ref, 0, interp)
@@ -81,10 +85,16 @@ def _kernel(
     q_abs = (t + step - 1).astype(jnp.float32)  # current absolute position
 
     # ---- prompt segment: shared KV, [K, T] logits stay in VMEM
+    # int8 caches dequantize in VMEM: the per-(head, position) scale
+    # folds into the [K, T] logits (for K) and the softmax weights
+    # (for V) — the HBM stream is the int8 bytes, nothing else
     kp = kp_ref[0, 0]  # [T, D]
     logits_p = jax.lax.dot_general(
-        q, kp, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        q, kp.astype(in_dtype), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
     ) * scale  # [K, T]
+    if quantized:
+        logits_p = logits_p * kps_ref[0]  # [1, T] broadcast
     pos_p = jax.lax.broadcasted_iota(jnp.int32, (kb, t), 1)
     if has_alibi:
         logits_p = logits_p + slope * (pos_p.astype(jnp.float32) - q_abs)
@@ -99,21 +109,27 @@ def _kernel(
     if allowed is not None:
         p_p = jnp.where(allowed, p_p, 0.0)
     l_p = jnp.sum(p_p, axis=1)
+    pw_p = p_p * vps_ref[0] if quantized else p_p  # fold V scale [1, T]
     o_p = jax.lax.dot_general(
-        p_p.astype(in_dtype), vp_ref[0, 0], (((1,), (0,)), ((), ())),
+        pw_p.astype(in_dtype), vp_ref[0, 0].astype(in_dtype),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [K, D]
 
     # ---- gen segment: ancestry resolved by where-select per ancestor
     sel = sel_ref[0]  # [K, G]
+    gks = gks_ref[0, 0] if quantized else None  # [K, G]
+    gvs = gvs_ref[0, 0] if quantized else None
     pos_g = jax.lax.broadcasted_iota(jnp.int32, (kb, g), 1)
     valid_g = pos_g < step
     logits_g = jnp.zeros((kb, g), jnp.float32)
     for p_beam in range(kb):
         lg = jax.lax.dot_general(
-            q, gk_ref[0, p_beam, 0], (((1,), (1,)), ((), ())),
+            q, gk_ref[0, p_beam, 0].astype(in_dtype), (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) * scale  # [K, G]
+        if quantized:
+            lg = lg * gks[p_beam:p_beam + 1]  # ancestor's scales [1, G]
         logits_g = jnp.where(sel == p_beam, lg, logits_g)
     if has_alibi:
         ki_g = (t + pos_g).astype(jnp.float32)
@@ -126,8 +142,10 @@ def _kernel(
     o_g = jnp.zeros_like(o_p)
     for p_beam in range(kb):
         pw = jnp.where(sel == p_beam, p_g, 0.0)
+        if quantized:
+            pw = pw * gvs[p_beam:p_beam + 1]
         o_g = o_g + jax.lax.dot_general(
-            pw.astype(in_dtype), gv_ref[0, p_beam, 0],
+            pw.astype(in_dtype), gv_ref[0, p_beam, 0].astype(in_dtype),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
 
@@ -154,9 +172,20 @@ def pallas_decode_attention(
     alibi: Optional[jax.Array] = None,       # [H] slopes
     scale: Optional[float] = None,
     beam_sel: Optional[jax.Array] = None,    # [BK, G] local ancestor beam
+    prompt_k_scale: Optional[jax.Array] = None,  # [B, Hkv, T] int8 dequant
+    prompt_v_scale: Optional[jax.Array] = None,
+    gen_k_scale: Optional[jax.Array] = None,     # [BK, Hkv, G]
+    gen_v_scale: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
-    """Fused decode attention; returns [BK, H, D] in q.dtype."""
+    """Fused decode attention; returns [BK, H, D] in q.dtype.
+
+    When the four ``*_scale`` arrays are given, the KV caches are int8
+    and dequantize inside the kernel: K scales fold into the logits, V
+    scales into the softmax weights — the HBM stream is the int8 bytes,
+    no dequantized copy ever materializes (the reason the XLA int8 path
+    measured slower than bf16, benchmarks/records/eval_4b_int8_v5e.json).
+    """
     if interpret is None:
         interpret = _interpret_default()
     bk, h, d = q.shape
@@ -165,6 +194,10 @@ def pallas_decode_attention(
     kb = bk // b
     if scale is None:
         scale = 1.0 / (d**0.5)
+    quantized = prompt_k_scale is not None
+    if quantized:
+        assert (prompt_v_scale is not None and gen_k_scale is not None
+                and gen_v_scale is not None), "all four KV scales required"
 
     q_r = q.reshape(b, kb, h, d).transpose(0, 2, 1, 3)  # [B, H, K, D]
     gk = gen_k.reshape(b, kb, hkv, g, d)
@@ -200,14 +233,35 @@ def pallas_decode_attention(
                      lambda i, j: (i, 0, kv_head(i, j), 0, 0)),        # gk
         pl.BlockSpec((1, kb, 1, g, d),
                      lambda i, j: (i, 0, kv_head(i, j), 0, 0)),        # gv
+    ]
+    inputs = [q_r, prompt_k, prompt_v, gk, gv]
+    if quantized:
+        # scale layouts are chosen for Pallas' last-two-dims blocking:
+        # prompt [B*Hkv, 1, T] (block (1,1,T) — second-minor dim 1 equals
+        # the array dim), gen [B, Hkv, K, G] (block (1,1,K,G) full dims)
+        kps = prompt_k_scale.astype(jnp.float32).reshape(b * hkv, 1, t)
+        vps = prompt_v_scale.astype(jnp.float32).reshape(b * hkv, 1, t)
+        gks = gen_k_scale.astype(jnp.float32).reshape(
+            b, kb, hkv, g).transpose(0, 2, 1, 3)
+        gvs = gen_v_scale.astype(jnp.float32).reshape(
+            b, kb, hkv, g).transpose(0, 2, 1, 3)
+        ps_spec = pl.BlockSpec(
+            (1, 1, t), lambda i, j: (i * hkv + kv_head(i, j), 0, 0))
+        gs_spec = pl.BlockSpec(
+            (1, 1, kb, g), lambda i, j: (i, kv_head(i, j), 0, 0))
+        in_specs += [ps_spec, ps_spec, gs_spec, gs_spec]
+        inputs += [kps, vps, gks, gvs]
+    in_specs += [
         pl.BlockSpec((1, kb, g), lambda i, j: (i, 0, 0)),              # sel
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # step
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # bounds
         pl.BlockSpec(memory_space=pltpu.SMEM),                         # slopes
     ]
+    inputs += [sel, step_arr, bounds, slopes]
     kernel = functools.partial(
         _kernel, scale=scale, kb=kb, t=t, g=g,
-        has_alibi=has_alibi, has_bounds=has_bounds, interp=interpret,
+        has_alibi=has_alibi, has_bounds=has_bounds, quantized=quantized,
+        interp=interpret,
     )
     out = pl.pallas_call(
         kernel,
@@ -219,32 +273,42 @@ def pallas_decode_attention(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q_r, prompt_k, prompt_v, gk, gv, sel, step_arr, bounds, slopes)
+    )(*inputs)
     return out.transpose(0, 2, 1, 3).reshape(bk, h, d)
 
 
 def _prompt_only_kernel(
-    q_ref,        # [1, 1, K, D]
-    k_ref,        # [1, 1, S, D]
-    v_ref,        # [1, 1, S, D]
-    allowed_ref,  # [1, S] int32 (nonzero = attend)
-    o_ref,        # [1, 1, K, D]
-    *,
+    q_ref,   # [1, 1, K, D]
+    k_ref,   # [1, 1, S, D] (int8 when quantized)
+    v_ref,   # [1, 1, S, D]
+    *rest,   # quantized: ks,vs [1,1,S] f32 — then allowed [1,S] i32;
+             # o [1,1,K,D]
     scale: float,
+    quantized: bool,
 ):
+    if quantized:
+        ks_ref, vs_ref, allowed_ref, o_ref = rest
+    else:
+        allowed_ref, o_ref = rest
+        ks_ref = vs_ref = None
     q = q_ref[0, 0]  # [K, D]
     logits = jax.lax.dot_general(
-        q, k_ref[0, 0], (((1,), (1,)), ((), ())),
+        q, k_ref[0, 0].astype(q.dtype), (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     ) * scale  # [K, S]
+    if quantized:
+        logits = logits * ks_ref[0]  # [1, S] per-position K scales
     allowed = allowed_ref[...] != 0  # [1, S], broadcasts over K
     logits = jnp.where(allowed, logits, NEG_INF)
     m = jnp.max(logits, axis=1)
     p = jnp.exp(logits - m[:, None])
     p = jnp.where(allowed, p, 0.0)
     l = jnp.sum(p, axis=1)
+    if quantized:
+        p = p * vs_ref[0]  # fold V scales into the softmax weights
     o = jax.lax.dot_general(
-        p.astype(q.dtype), v_ref[0, 0], (((1,), (0,)), ((), ())),
+        p.astype(q.dtype), v_ref[0, 0].astype(q.dtype),
+        (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # [K, D]
     denom = jnp.where(l > 0, l, 1.0)  # all-masked row (no media) -> zeros
@@ -258,13 +322,16 @@ def pallas_single_query_attention(
     mask: jax.Array,  # [B, S] bool, True = allowed
     *,
     scale: Optional[float] = None,
+    k_scale: Optional[jax.Array] = None,  # [B, Hkv, S]: int8 latent KV
+    v_scale: Optional[jax.Array] = None,
     interpret: Optional[bool] = None,
 ) -> jax.Array:
     """Fused single-segment decode attention (gated cross-attention path:
     the projected media latents are the whole KV; no gen cache). Same
     VMEM-resident softmax argument as the split-cache kernel above —
     the HBM stream is the latent KV bytes, not the [K, S] f32
-    intermediates. Returns [BK, H, D] in q.dtype."""
+    intermediates. int8 latents dequantize in VMEM via k_scale/v_scale.
+    Returns [BK, H, D] in q.dtype."""
     if interpret is None:
         interpret = _interpret_default()
     bk, h, d = q.shape
@@ -272,23 +339,35 @@ def pallas_single_query_attention(
     kb = bk // b
     if scale is None:
         scale = 1.0 / (d**0.5)
+    quantized = k_scale is not None
     q_r = q.reshape(b, kb, h, d).transpose(0, 2, 1, 3)  # [B, H, K, D]
     allowed = mask.astype(jnp.int32)
     kv_head = lambda b_i, h_i: (h_i * hkv) // h  # noqa: E731
+    in_specs = [
+        pl.BlockSpec((1, 1, kb, d), lambda i, j: (i, j, 0, 0)),
+        pl.BlockSpec((1, 1, s, d), lambda i, j: (i, kv_head(i, j), 0, 0)),
+        pl.BlockSpec((1, 1, s, d), lambda i, j: (i, kv_head(i, j), 0, 0)),
+    ]
+    inputs = [q_r, k, v]
+    if quantized:
+        ks = k_scale.astype(jnp.float32).reshape(b * hkv, 1, s)
+        vs = v_scale.astype(jnp.float32).reshape(b * hkv, 1, s)
+        s_spec = pl.BlockSpec(
+            (1, 1, s), lambda i, j: (i * hkv + kv_head(i, j), 0, 0))
+        in_specs += [s_spec, s_spec]
+        inputs += [ks, vs]
+    in_specs.append(pl.BlockSpec((1, s), lambda i, j: (i, 0)))
+    inputs.append(allowed)
     out = pl.pallas_call(
-        functools.partial(_prompt_only_kernel, scale=scale),
+        functools.partial(_prompt_only_kernel, scale=scale,
+                          quantized=quantized),
         grid=(b, h),
-        in_specs=[
-            pl.BlockSpec((1, 1, kb, d), lambda i, j: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, kv_head(i, j), 0, 0)),
-            pl.BlockSpec((1, 1, s, d), lambda i, j: (i, kv_head(i, j), 0, 0)),
-            pl.BlockSpec((1, s), lambda i, j: (i, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 1, kb, d), lambda i, j: (i, j, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, kb, d), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel"),
         ),
         interpret=interpret,
-    )(q_r, k, v, allowed)
+    )(*inputs)
     return out.transpose(0, 2, 1, 3).reshape(bk, h, d)
