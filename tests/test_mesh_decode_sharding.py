@@ -40,7 +40,8 @@ def _debug_model(vocab=1024):
     return cfg, UniMPModel(cfg)
 
 
-def test_decode_state_sharding_roundtrip():
+@pytest.mark.parametrize("quantized", [False, True])
+def test_decode_state_sharding_roundtrip(quantized):
     mesh = make_mesh(dp=2, fsdp=2, tp=2)
     cfg, model = _debug_model()
     b, t, max_new = 8, 16, 4
@@ -67,9 +68,15 @@ def test_decode_state_sharding_roundtrip():
         media_id=7,
         mesh=mesh,
     )
-    state = gen._rows({"self": kv["self"], "xattn": [], "kv_start": None,
+    self_kv = kv["self"]
+    if quantized:  # int8 caches + scale trees shard like their floats
+        from unimp_tpu.decode.sampler import quantize_kv_cache
+
+        self_kv = [quantize_kv_cache(c) for c in self_kv]
+    state = gen._rows({"self": self_kv, "xattn": [], "kv_start": None,
                        "n_media": None, "kv_media": None})
-    gen0 = gen._rows_gen(model.init_gen_caches(b, max_new))
+    gen0 = gen._rows_gen(model.init_gen_caches(b, max_new,
+                                               quantized=quantized))
 
     def step(p, tok, state, caches, pos):
         ds = dict(state, gen=caches, step=jnp.int32(0), gen_index=None)
@@ -88,7 +95,7 @@ def test_decode_state_sharding_roundtrip():
         assert o.sharding.is_equivalent_to(a.sharding, a.ndim), (
             a.sharding, o.sharding)
     # and rows really are distributed over the data axes, not replicated
-    kv0 = gen1[0]["kv"]  # [2, B, max_new, H, D], rows on axis 1
+    kv0 = gen1[0]["kv"]  # [2, B, Hkv, max_new, D] heads-major, rows axis 1
     assert kv0.sharding.shard_shape(kv0.shape)[1] == b // 4
 
 
