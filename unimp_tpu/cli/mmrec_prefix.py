@@ -101,6 +101,8 @@ def main(argv=None):
         use_reweight=args.use_reweight,
         mesh=mesh,
         trainable_mask=frozen_mask,
+        accum_steps=(args.gradient_accumulation_steps
+                     if args.fused_accumulation else 1),
     )
     # Freeze/decay masks need only the tree structure — derive abstractly
     # so params are born sharded in init_state (no unsharded full tree);
@@ -113,6 +115,12 @@ def main(argv=None):
         warmup_steps=warmup,
         weight_decay=args.weight_decay,
     )
+    if args.gradient_accumulation_steps > 1 and not args.fused_accumulation:
+        import optax
+
+        trainer.optimizer = optax.MultiSteps(
+            trainer.optimizer, args.gradient_accumulation_steps
+        )
     state = trainer.init_state(jax.random.PRNGKey(args.seed), sample_batch)
     if args.load_weights_name:
         # vocabulary grew (item_domain_{i} tokens) — restore raw, graft the
