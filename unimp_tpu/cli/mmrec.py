@@ -158,6 +158,13 @@ def main(argv=None):
     train_loader = common.make_loader(args, train_ds, tokenizer, train=True)
 
     total_steps = len(train_loader) * args.num_epochs
+    if args.gradient_accumulation_steps > 1 and not args.fused_accumulation:
+        # MultiSteps ticks the inner LR schedule once per ACCUMULATED
+        # update, not per microbatch — size the horizon in optimizer
+        # updates or warmup/decay run accum-times too slow (with
+        # --fused_accumulation the loader already yields update-sized
+        # batches, so len(train_loader) is the update count)
+        total_steps = max(1, total_steps // args.gradient_accumulation_steps)
     warmup = (
         int(total_steps * args.warmup_steps_ratio)
         if args.warmup_steps_ratio is not None

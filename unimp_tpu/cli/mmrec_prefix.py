@@ -85,6 +85,9 @@ def main(argv=None):
                          tasks=[args.task], mesh=mesh)
 
     total_steps = len(train_loader) * args.num_epochs
+    if args.gradient_accumulation_steps > 1 and not args.fused_accumulation:
+        # schedule horizon in optimizer updates (see cli/mmrec.py)
+        total_steps = max(1, total_steps // args.gradient_accumulation_steps)
     warmup = (
         int(total_steps * args.warmup_steps_ratio)
         if args.warmup_steps_ratio is not None

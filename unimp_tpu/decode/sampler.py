@@ -27,6 +27,7 @@ Returns generated tokens only (no prompt), padded with pad_id.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Optional
 
 import jax
@@ -101,6 +102,17 @@ class Generator:
         # (a wrong guess forces involuntary full rematerialization at
         # every decode step on real multi-chip).
         self.mesh = mesh
+        # pl.pallas_call has no SPMD partitioning rule: under a real
+        # multi-device mesh the row/tp-sharded caches would force GSPMD
+        # to all-gather them around the kernel every step. Pin the XLA
+        # impl there (its einsums partition cleanly); the fused Pallas
+        # kernels are the single-device fast path. An explicit
+        # UNIMP_DECODE_IMPL still overrides inside the ops.
+        self.attn_impl = (
+            "xla" if (mesh is not None and mesh.size > 1
+                      and not os.environ.get("UNIMP_DECODE_IMPL"))
+            else None
+        )
         self._fn = None
 
     def _pin(self, a, spec_for_rank):
@@ -168,7 +180,8 @@ class Generator:
 
     def _decode_step(self, params, tokens, state, gen, step, positions,
                      gen_index=None):
-        ds = dict(state, gen=gen, step=step, gen_index=gen_index)
+        ds = dict(state, gen=gen, step=step, gen_index=gen_index,
+                  attn_impl=self.attn_impl)
         return self.model.apply(
             {"params": params}, tokens, positions=positions, decode_state=ds
         )

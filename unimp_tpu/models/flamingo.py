@@ -78,6 +78,7 @@ class GatedCrossAttnBlock(nn.Module):
         return_cache: bool = False,
         xattn_cache: Optional[dict] = None,
         allowed: Optional[jax.Array] = None,
+        attn_impl: Optional[str] = None,
     ):
         d = x.shape[-1]
         attn_gate = self.param("attn_gate", nn.initializers.zeros, (), jnp.float32)
@@ -88,7 +89,8 @@ class GatedCrossAttnBlock(nn.Module):
             dtype=self.dtype, name="xattn",
         )
         if xattn_cache is not None:
-            attn_out, cache = attn(h, xattn_cache=xattn_cache, xattn_allowed=allowed)
+            attn_out, cache = attn(h, xattn_cache=xattn_cache,
+                                   xattn_allowed=allowed, attn_impl=attn_impl)
         else:
             mask = AttnMask(
                 q_media=q_media, kv_media=kv_media, media_mode=self.media_mode
@@ -210,6 +212,7 @@ class UniMPModel(nn.Module):
                         x, _ = xattn(
                             x, xattn_cache=decode_state["xattn"][xi],
                             allowed=allowed,
+                            attn_impl=decode_state.get("attn_impl"),
                         )
                     xi += 1
                 layer_ds = {
@@ -218,6 +221,7 @@ class UniMPModel(nn.Module):
                     "step": decode_state["step"],
                     "kv_start": decode_state.get("kv_start"),
                     "gen_index": decode_state.get("gen_index"),
+                    "attn_impl": decode_state.get("attn_impl"),
                 }
                 x, gc = block(
                     x, positions=positions, decode_state=layer_ds,

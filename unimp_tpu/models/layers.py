@@ -219,6 +219,7 @@ class Attention(nn.Module):
         decode_state: Optional[dict] = None,
         xattn_cache: Optional[dict] = None,
         xattn_allowed: Optional[jax.Array] = None,
+        attn_impl: Optional[str] = None,
     ):
         """Returns (out [B, S, out_dim], cache_or_None).
 
@@ -249,6 +250,7 @@ class Attention(nn.Module):
                 q[:, 0], xattn_cache["k"], xattn_cache["v"], xattn_allowed,
                 k_scale=xattn_cache.get("k_scale"),  # int8 latent KV
                 v_scale=xattn_cache.get("v_scale"),
+                impl=attn_impl,
             )
             return o_proj(out[:, None]), None
 
@@ -354,6 +356,7 @@ class Attention(nn.Module):
                 prompt_v_scale=prompt_scales[1],
                 gen_k_scale=gen_scales[0],
                 gen_v_scale=gen_scales[1],
+                impl=decode_state.get("attn_impl"),
             )
             return o_proj(out[:, None]), new_cache
 

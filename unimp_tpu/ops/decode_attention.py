@@ -158,6 +158,8 @@ def single_query_attention(
     fused prompt-only Pallas kernel (softmax stays in VMEM); pin with
     impl=/UNIMP_DECODE_IMPL. int8 latents: pass raw int8 + k/v_scale.
     """
+    if (k_scale is None) != (v_scale is None):
+        raise ValueError("int8 latent KV requires both k_scale and v_scale")
     if impl is None:
         impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
     if impl == "auto":
@@ -223,6 +225,13 @@ def decode_attention(
     b, _, t = prompt_k.shape[:3]
     g = gen_k.shape[2]
     k_beams = bk // b
+    n_scales = sum(s is not None for s in (prompt_k_scale, prompt_v_scale,
+                                           gen_k_scale, gen_v_scale))
+    if n_scales not in (0, 4):
+        raise ValueError(
+            "int8 decode caches require all four *_scale arrays (prompt "
+            f"and gen, K and V) or none; got {n_scales}/4"
+        )
     if impl is None:
         impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
     if impl == "auto":

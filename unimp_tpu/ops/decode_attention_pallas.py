@@ -298,7 +298,7 @@ def _prompt_only_kernel(
     ) * scale  # [K, S]
     if quantized:
         logits = logits * ks_ref[0]  # [1, S] per-position K scales
-    allowed = allowed_ref[...] != 0  # [1, S], broadcasts over K
+    allowed = allowed_ref[0] != 0  # [1, S], broadcasts over K
     logits = jnp.where(allowed, logits, NEG_INF)
     m = jnp.max(logits, axis=1)
     p = jnp.exp(logits - m[:, None])
@@ -341,7 +341,10 @@ def pallas_single_query_attention(
         scale = 1.0 / (d**0.5)
     quantized = k_scale is not None
     q_r = q.reshape(b, kb, h, d).transpose(0, 2, 1, 3)  # [B, H, K, D]
-    allowed = mask.astype(jnp.int32)
+    # [B, 1, S]: block (1, 1, s) keeps the second-minor dim equal to the
+    # array dim (a (1, s) 2-D block would violate the TPU tiling rule
+    # for batches not divisible by 8)
+    allowed = mask.astype(jnp.int32).reshape(b, 1, s)
     kv_head = lambda b_i, h_i: (h_i * hkv) // h  # noqa: E731
     in_specs = [
         pl.BlockSpec((1, 1, kb, d), lambda i, j: (i, j, 0, 0)),
@@ -356,7 +359,7 @@ def pallas_single_query_attention(
             (1, 1, s), lambda i, j: (i * hkv + kv_head(i, j), 0, 0))
         in_specs += [s_spec, s_spec]
         inputs += [ks, vs]
-    in_specs.append(pl.BlockSpec((1, s), lambda i, j: (i, 0)))
+    in_specs.append(pl.BlockSpec((1, 1, s), lambda i, j: (i, 0, 0)))
     inputs.append(allowed)
     out = pl.pallas_call(
         functools.partial(_prompt_only_kernel, scale=scale,

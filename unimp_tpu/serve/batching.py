@@ -175,7 +175,7 @@ class BatchedStreamingEngine:
         chunk = key[4]
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
-        def decode_chunk(params, state, gen, logits, done, rng, temps,
+        def decode_chunk(params, state, gen, logits, done, seeds, temps,
                          step0, kv_start):
             """Advance CHUNK tokens in ONE program: sampling is fused so
             the next step's input token never visits the host, and the
@@ -189,9 +189,14 @@ class BatchedStreamingEngine:
                 step_i = step0 + i
                 greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
                 scaled = logits / jnp.maximum(temps[:, None], 1e-6)
-                keys = jax.random.split(
-                    jax.random.fold_in(rng, step_i), logits.shape[0]
-                )
+                # per-row keys from each request's OWN seed (requests
+                # batched into one wave keep independent, reproducible
+                # sampling streams)
+                base = jax.random.PRNGKey(0)
+                keys = jax.vmap(
+                    lambda sd: jax.random.fold_in(
+                        jax.random.fold_in(base, sd), step_i)
+                )(seeds)
                 sampled = jax.vmap(
                     lambda k, l: jax.random.categorical(k, l)
                 )(keys, scaled).astype(jnp.int32)
@@ -283,7 +288,8 @@ class BatchedStreamingEngine:
             jnp.asarray(positions), latents, q_media,
         )
         gen = self.model.init_gen_caches(s, g)
-        rng = jax.random.PRNGKey(reqs[0].seed)
+        seeds_d = jnp.asarray(
+            [r.seed for r in reqs] + [0] * (s - n), jnp.int32)
         temps_d = jnp.asarray(temps)
         kv_start_d = jnp.asarray(kv_start)
         done_d = jnp.asarray(np.arange(s) >= n)  # inactive slots retired
@@ -320,7 +326,7 @@ class BatchedStreamingEngine:
         # streams the previous one's text
         while dispatched < n_chunks and not all(host_done):
             logits, done_d, gen, packed, step0 = decode_chunk(
-                params, state, gen, logits, done_d, rng, temps_d,
+                params, state, gen, logits, done_d, seeds_d, temps_d,
                 step0, kv_start_d,
             )
             pending.append(packed)
