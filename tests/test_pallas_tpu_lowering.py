@@ -98,3 +98,35 @@ def test_prompt_only_kernel_lowers_for_tpu(b, kb, s, h, hkv, d, int8):
         q, k, v, m, interpret=False, **kw))
     exp = export.export(f, platforms=["tpu"])(mask)
     assert len(exp.mlir_module_serialized) > 0
+
+
+def test_full_beam_generate_lowers_for_tpu(monkeypatch):
+    """Integration: the whole jitted beam-search program (prefill +
+    while-loop decode + both fused kernels via the model's decode path)
+    lowers for the TPU target — what bench.py/eval actually run."""
+    import numpy as np
+
+    from unimp_tpu.decode import GenerationConfig, Generator
+    from unimp_tpu.models import UniMPModel, get_config
+
+    monkeypatch.setenv("UNIMP_DECODE_IMPL", "pallas")
+    cfg = get_config("debug", dtype="bfloat16")
+    model = UniMPModel(cfg)
+    rng = np.random.default_rng(0)
+    b, t = 3, 16  # odd batch on purpose
+    ids = jnp.asarray(rng.integers(10, 1000, size=(b, t)), jnp.int32)
+    seq_len = jnp.asarray([t, t - 3, t - 1], jnp.int32)
+    abstract = jax.eval_shape(
+        lambda r: model.init(r, ids[:1])["params"], jax.random.PRNGKey(0))
+    params = jax.tree.map(lambda a: jnp.zeros(a.shape, a.dtype), abstract)
+
+    gen = Generator(
+        model,
+        GenerationConfig(max_new_tokens=7, eos_id=2, pad_id=0,
+                         num_beams=3, num_return_sequences=3),
+        media_id=7,
+    )
+    f = jax.jit(lambda p, i, s, r: gen._generate(p, i, s, None, r))
+    exp = export.export(f, platforms=["tpu"])(
+        params, ids, seq_len, jax.random.PRNGKey(0))
+    assert len(exp.mlir_module_serialized) > 0
