@@ -520,3 +520,32 @@ def test_in_step_grad_accumulation_matches_multisteps(setup):
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5
         )
+
+
+def test_fused_accum_with_int8_frozen_backbone(setup):
+    """The reference-shape bench configuration: in-step scan
+    accumulation over a frozen int8 backbone (QuantizedKernel leaves
+    closed over by the scanned grad fn) — trainable subtree moves,
+    frozen int8 payload bit-identical, loss finite."""
+    from unimp_tpu.train.partition import backbone_trainable_mask
+    from unimp_tpu.utils.quant import count_quantized
+
+    tok, model, dl = setup
+    batch = next(iter(dl))  # 8 rows -> 2 microbatches of 4
+    trainer = Trainer(
+        model, optimizer=None,
+        media_id=tok.media_token_id, answer_id=tok.answer_token_id,
+        endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+        trainable_mask=backbone_trainable_mask, frozen_dtype="int8",
+        accum_steps=2, grad_dtype="bfloat16",
+    )
+    trainer.optimizer = make_optimizer(
+        trainer.trainable_abstract(batch), learning_rate=1e-2
+    )
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    assert count_quantized(state.params) > 5
+    emb_before = np.asarray(state.params["embed"]["embedding"])
+    state, metrics = trainer.train_step(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.abs(np.asarray(state.params["embed"]["embedding"])
+                  - emb_before).max() > 0
