@@ -182,3 +182,41 @@ def test_batched_engine_single_request_and_sampling(tiny_worker):
                                max_new_tokens=5))
     assert isinstance(outs2[-1], str)
     engine.stop()
+
+
+def test_batched_engine_kv_int8_streams(tiny_worker):
+    """kv_int8 engine (int8 prompt/latent/gen caches, in-op dequant)
+    completes concurrent greedy streams with the same outputs as the
+    float-cache engine (tiny model, short generations — dequant error is
+    far below the greedy argmax margin here)."""
+    import threading as th
+
+    from unimp_tpu.serve.batching import BatchedStreamingEngine
+
+    model, params, tok = (tiny_worker.model, tiny_worker.params,
+                          tiny_worker.tokenizer)
+    prompts = ["hello world", "what item next"]
+
+    def run_all(engine):
+        results = [None] * len(prompts)
+
+        def run(i):
+            text = ""
+            for text in engine.stream(params, prompts[i], max_new_tokens=5):
+                pass
+            results[i] = text
+
+        threads = [th.Thread(target=run, args=(i,)) for i in range(len(prompts))]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+        engine.stop()
+        return results
+
+    base = run_all(BatchedStreamingEngine(
+        model, tok, max_slots=2, max_new_tokens=5, wave_window_ms=200))
+    quant = run_all(BatchedStreamingEngine(
+        model, tok, max_slots=2, max_new_tokens=5, wave_window_ms=200,
+        kv_int8=True))
+    assert quant == base

@@ -139,10 +139,12 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
     p.add_argument("--num_beams", type=int, default=10)
     p.add_argument("--kv_int8", default=False, action="store_true",
                    help="int8 decode KV caches (prompt + latent + "
-                        "generated): halves cache HBM — a memory lever "
-                        "for long generations / big batches (measured "
-                        "~25%% slower on v5e: XLA materializes the "
-                        "dequantized copies instead of fusing)")
+                        "generated): halves cache HBM and the dominant "
+                        "decode HBM stream — the fused Pallas kernels "
+                        "dequantize in VMEM (scales fold into logits/"
+                        "softmax weights, no materialized copy); on the "
+                        "XLA fallback path it is a memory lever only "
+                        "(measured ~25%% slower there on v5e)")
     p.add_argument("--eval_param_dtype", type=str, default="bf16",
                    choices=["bf16", "fp32", "int8"],
                    help="cast params for eval/serving (bf16 halves the "

@@ -59,7 +59,8 @@ class _Request:
 class BatchedStreamingEngine:
     def __init__(self, model, tokenizer, *, max_slots: int = 4,
                  max_new_tokens: int = 256, wave_window_ms: float = 30.0,
-                 prompt_bucket: int = 64, chunk: int = 8):
+                 prompt_bucket: int = 64, chunk: int = 8,
+                 kv_int8: bool = False):
         self.model = model
         self.tok = tokenizer
         self.max_slots = max_slots
@@ -67,6 +68,10 @@ class BatchedStreamingEngine:
         self.window = wave_window_ms / 1000.0
         self.prompt_bucket = prompt_bucket
         self.chunk = max(1, chunk)
+        # int8 prompt/latent/gen KV: decode streams every cache fully
+        # each step, so halving its bytes shaves the HBM-bound step (the
+        # fused kernels dequantize in VMEM — see ops/decode_attention)
+        self.kv_int8 = kv_int8
         self._inbox: "queue.Queue" = queue.Queue()
         self._fns = {}
         self._encode_fn = None
@@ -163,9 +168,16 @@ class BatchedStreamingEngine:
                 kv_start=kv_start, positions=positions, return_kv=True,
                 last_logit_only=True,
             )
+            self_kv = kv["self"]
+            xattn_kv = kv.get("xattn", [])
+            if self.kv_int8:
+                from unimp_tpu.decode.sampler import quantize_kv_cache
+
+                self_kv = [quantize_kv_cache(c) for c in self_kv]
+                xattn_kv = [quantize_kv_cache(c) for c in xattn_kv]
             state = {
-                "self": kv["self"],
-                "xattn": kv.get("xattn", []),
+                "self": self_kv,
+                "xattn": xattn_kv,
                 "kv_start": kv_start,
                 "n_media": n_media,
                 "kv_media": kv_media,
@@ -287,7 +299,7 @@ class BatchedStreamingEngine:
             params, jnp.asarray(ids), jnp.asarray(kv_start),
             jnp.asarray(positions), latents, q_media,
         )
-        gen = self.model.init_gen_caches(s, g)
+        gen = self.model.init_gen_caches(s, g, quantized=self.kv_int8)
         seeds_d = jnp.asarray(
             [r.seed for r in reqs] + [0] * (s - n), jnp.int32)
         temps_d = jnp.asarray(temps)

@@ -41,6 +41,7 @@ class ModelWorker:
         image_size: int = 224,
         max_new_tokens: int = 256,
         batched: bool = True,
+        kv_int8: bool = False,
     ):
         from unimp_tpu.decode.streaming import StreamingGenerator
 
@@ -64,7 +65,7 @@ class ModelWorker:
 
             self.engine = BatchedStreamingEngine(
                 model, tokenizer, max_slots=max(limit_concurrency, 1),
-                max_new_tokens=max_new_tokens,
+                max_new_tokens=max_new_tokens, kv_int8=kv_int8,
             )
         else:
             self.streamer = StreamingGenerator(model, tokenizer, max_new_tokens)
@@ -257,6 +258,7 @@ def main(argv=None):
         limit_concurrency=args.limit_model_concurrency,
         image_size=args.patch_image_size,
         batched=not args.no_batched_streaming,
+        kv_int8=args.kv_int8,
     )
     serve(worker, args.host, args.port)
 
