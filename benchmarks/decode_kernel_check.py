@@ -11,10 +11,15 @@ CHECK_INT8=1 exercises the in-kernel-dequant int8 cache path.
 """
 
 import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+sys_path_root = str(__import__("pathlib").Path(__file__).resolve().parent.parent)
+if sys_path_root not in sys.path:
+    sys.path.insert(0, sys_path_root)
 
 from unimp_tpu.decode.sampler import quantize_kv_cache
 from unimp_tpu.ops.decode_attention import decode_attention

@@ -5,11 +5,16 @@
 # stop later stages (tunnel flakes cost a stage, not the run).
 set -u
 cd "$(dirname "$0")/.."
+export PYTHONPATH="$PWD${PYTHONPATH:+:$PYTHONPATH}"
 OUT=${1:-/tmp/tpu_round3}
+STAGES=${STAGES:-}  # space-separated allowlist; empty = run all
 mkdir -p "$OUT"
 
 stage() {  # name timeout cmd...
   local name=$1 tmo=$2; shift 2
+  if [ -n "$STAGES" ] && ! [[ " $STAGES " == *" $name "* ]]; then
+    echo "=== $name SKIPPED (not in STAGES) ==="; return 0
+  fi
   echo "=== $name ($(date +%H:%M:%S)) ==="
   timeout "$tmo" "$@" >"$OUT/$name.json" 2>"$OUT/$name.log"
   echo "--- rc=$? tail:"; tail -3 "$OUT/$name.json" "$OUT/$name.log" 2>/dev/null
