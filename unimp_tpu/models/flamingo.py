@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from unimp_tpu.models.config import UniMPConfig
-from unimp_tpu.models.layers import Attention, Mlp, make_norm
+from unimp_tpu.models.layers import Attention, DenseWeights, Mlp, make_norm
+from unimp_tpu.ops.quant_matmul import quant_dot
 from unimp_tpu.models.lm import DecoderBlock, init_gen_cache
 from unimp_tpu.models.perceiver import PerceiverResampler
 from unimp_tpu.models.vit import VisionTower
@@ -138,9 +139,10 @@ class UniMPModel(nn.Module):
             cfg.lm.norm, cfg.lm.layernorm_eps, dt, "final_ln"
         )
         if not cfg.lm.tie_embeddings:
-            self.lm_head = nn.Dense(
-                cfg.lm.vocab_size, use_bias=False, dtype=dt,
-                param_dtype=jnp.float32, name="lm_head",
+            # nn.Dense-identical param tree; the matmul routes through
+            # quant_dot so int8 runs stream int8 bytes per decode step
+            self.lm_head = DenseWeights(
+                cfg.lm.vocab_size, use_bias=False, name="lm_head",
             )
 
     def encode_vision(self, vision_x: jax.Array) -> jax.Array:
@@ -163,7 +165,8 @@ class UniMPModel(nn.Module):
                 dimension_numbers=(((x.ndim - 1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
-        return self.lm_head(x)
+        kernel, _ = self.lm_head.weights(x.shape[-1])
+        return quant_dot(x, kernel)
 
     @staticmethod
     def kv_media_for(latents) -> jax.Array:

@@ -29,8 +29,26 @@ import jax.numpy as jnp
 
 from unimp_tpu.ops import AttnMask, multi_head_attention
 from unimp_tpu.ops.decode_attention import decode_attention, single_query_attention
+from unimp_tpu.ops.quant_matmul import quant_dot
+from unimp_tpu.utils.quant import QuantizedKernel, concat_kernels_int8
 
 Dtype = Any
+
+
+def _fused_kernel_dot(x, kernels):
+    """x @ concat(kernels, axis=1) for 2-D kernels that may be
+    QuantizedKernel leaves. All-quantized fusions concat the int8
+    payloads + scales (no dequant) and stream through the Pallas
+    weight-streaming matmul at decode row counts; otherwise the concat
+    dequantizes to x.dtype (loop-invariant: XLA hoists it out of the
+    decode while-loop)."""
+    if len(kernels) > 1 and all(
+            isinstance(k, QuantizedKernel) for k in kernels):
+        return quant_dot(x, concat_kernels_int8(kernels))
+    if len(kernels) == 1:
+        return quant_dot(x, kernels[0])
+    wk = jnp.concatenate([k.astype(x.dtype) for k in kernels], axis=1)
+    return x @ wk
 
 
 class RMSNorm(nn.Module):
@@ -111,9 +129,8 @@ class Proj(nn.Module):
 
     def __call__(self, x):
         kernel, bias = self.weights(x.shape[-1])
-        y = jnp.einsum(
-            "...d,dhk->...hk", x, kernel.astype(x.dtype)
-        )
+        y = _fused_kernel_dot(x, [kernel.reshape(x.shape[-1], -1)])
+        y = y.reshape(*y.shape[:-1], self.heads, self.head_dim)
         if bias is not None:
             y = y + bias.astype(y.dtype)
         return y
@@ -140,6 +157,45 @@ class DenseWeights(nn.Module):
         return kernel, bias
 
 
+class OProj(nn.Module):
+    """Explicit nn.DenseGeneral(axis=(-2,-1))-equivalent output
+    projection: kernel [H, d, out], bias [out], flattened-fan
+    lecun_normal init — the exact param tree and statistics of the
+    DenseGeneral it replaces, with the matmul routed through quant_dot
+    so int8 kernels stream int8 bytes on the decode path."""
+
+    out_dim: int
+    use_bias: bool
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, y):  # [..., H, D] -> [..., out_dim]
+        h, d = y.shape[-2], y.shape[-1]
+
+        def init(key, shape, dtype=jnp.float32):
+            flat = nn.initializers.lecun_normal()(
+                key, (shape[0] * shape[1], shape[2]), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param("kernel", init, (h, d, self.out_dim),
+                            jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros,
+                           (self.out_dim,), jnp.float32)
+                if self.use_bias else None)
+        y2 = y.reshape(*y.shape[:-2], h * d).astype(self.dtype)
+        if (isinstance(kernel, QuantizedKernel)
+                and kernel.scale.size == self.out_dim):
+            k2 = QuantizedKernel(kernel.q.reshape(h * d, self.out_dim),
+                                 kernel.scale.reshape(-1),
+                                 dtype=kernel.dtype)
+        else:  # plain array, or a scale the flat matmul can't fold
+            k2 = kernel.reshape(h * d, self.out_dim)
+        out = quant_dot(y2, k2)
+        if bias is not None:
+            out = out + bias.astype(out.dtype)
+        return out
+
+
 class Mlp(nn.Module):
     """Transformer MLP; act="silu" selects a SwiGLU (gate*up) block.
 
@@ -159,27 +215,35 @@ class Mlp(nn.Module):
             gk, gb = DenseWeights(self.hidden, self.use_bias, name="gate").weights(d_model)
             uk, ub = DenseWeights(self.hidden, self.use_bias, name="up").weights(d_model)
             if fuse:
-                wk = jnp.concatenate([gk, uk], axis=1).astype(x.dtype)
-                y = x @ wk
+                y = _fused_kernel_dot(x, [gk, uk])
                 if gb is not None:
                     y = y + jnp.concatenate([gb, ub]).astype(y.dtype)
                 gate, up = jnp.split(y, 2, axis=-1)
             else:
-                gate = x @ gk.astype(x.dtype)
-                up = x @ uk.astype(x.dtype)
+                gate = quant_dot(x, gk)
+                up = quant_dot(x, uk)
                 if gb is not None:
                     gate = gate + gb.astype(gate.dtype)
                     up = up + ub.astype(up.dtype)
             h = nn.silu(gate) * up
         else:
-            h = nn.Dense(self.hidden, use_bias=self.use_bias, dtype=self.dtype,
-                         param_dtype=jnp.float32, name="up")(x)
+            # explicit weights, nn.Dense-identical param tree — the
+            # matmul must route through quant_dot so int8 kernels
+            # stream int8 bytes at decode (see ops/quant_matmul.py)
+            uk, ub = DenseWeights(self.hidden, self.use_bias, name="up").weights(d_model)
+            h = quant_dot(x.astype(self.dtype), uk)
+            if ub is not None:
+                h = h + ub.astype(h.dtype)
             if self.quick_gelu:
                 h = h * nn.sigmoid(1.702 * h)
             else:
                 h = nn.gelu(h, approximate=True)
-        return nn.Dense(d_model, use_bias=self.use_bias, dtype=self.dtype,
-                        param_dtype=jnp.float32, name="down")(h)
+        dk, db = DenseWeights(d_model, self.use_bias, name="down").weights(
+            h.shape[-1])
+        out = quant_dot(h.astype(self.dtype), dk)
+        if db is not None:
+            out = out + db.astype(out.dtype)
+        return out
 
 
 class Attention(nn.Module):
@@ -238,10 +302,8 @@ class Attention(nn.Module):
         v_p = Proj(hkv, d, self.use_bias, name="v_proj")
 
         out_dim = self.out_dim or x.shape[-1]
-        o_proj = nn.DenseGeneral(
-            out_dim, axis=(-2, -1), use_bias=self.use_bias, dtype=self.dtype,
-            param_dtype=jnp.float32, name="o_proj",
-        )
+        o_proj = OProj(out_dim, use_bias=self.use_bias, dtype=self.dtype,
+                       name="o_proj")
 
         # ---- cross-attention decode against cached projected latents
         if xattn_cache is not None:
@@ -258,15 +320,16 @@ class Attention(nn.Module):
         same_src = kv_x is None
 
         if decode_state is not None and same_src:
-            # fused single-matmul qkv (concat hoisted out of the loop)
+            # fused single-matmul qkv (int8 kernels stream int8 bytes
+            # through the Pallas matmul; float kernels concat once,
+            # hoisted out of the loop)
             qk, qb = q_p.weights(in_dim)
             kk, kb = k_p.weights(in_dim)
             vk, vb = v_p.weights(in_dim)
-            wk = jnp.concatenate(
-                [qk.reshape(in_dim, -1), kk.reshape(in_dim, -1),
-                 vk.reshape(in_dim, -1)], axis=1,
-            ).astype(x.dtype)
-            y = x @ wk
+            y = _fused_kernel_dot(
+                x, [qk.reshape(in_dim, -1), kk.reshape(in_dim, -1),
+                    vk.reshape(in_dim, -1)],
+            )
             if qb is not None:
                 y = y + jnp.concatenate(
                     [qb.reshape(-1), kb.reshape(-1), vb.reshape(-1)]

@@ -18,8 +18,9 @@ import jax
 import jax.numpy as jnp
 
 from unimp_tpu.models.config import LMConfig
-from unimp_tpu.models.layers import Attention, Mlp, make_norm
+from unimp_tpu.models.layers import Attention, DenseWeights, Mlp, make_norm
 from unimp_tpu.ops import AttnMask
+from unimp_tpu.ops.quant_matmul import quant_dot
 
 
 class DecoderBlock(nn.Module):
@@ -153,10 +154,12 @@ class CausalLM(nn.Module):
                 preferred_element_type=jnp.float32,
             )
         else:
-            logits = nn.Dense(
-                cfg.vocab_size, use_bias=False, dtype=self.dtype,
-                param_dtype=jnp.float32, name="lm_head",
-            )(x).astype(jnp.float32)
+            # nn.Dense-identical params; quant_dot streams int8 bytes
+            # when the kernel is quantized (decode row counts)
+            lk, _ = DenseWeights(
+                cfg.vocab_size, use_bias=False, name="lm_head",
+            ).weights(x.shape[-1])
+            logits = quant_dot(x.astype(self.dtype), lk).astype(jnp.float32)
         if return_kv:
             return logits, {"self": caches}
         if decode_state is not None:

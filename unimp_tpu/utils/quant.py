@@ -25,10 +25,12 @@ import numpy as np
 class QuantizedKernel:
     """int8 weight + per-output-channel scale; acts like an array in jit.
 
-    ``q`` has the original kernel shape; ``scale`` has shape
-    ``q.shape[1:]`` (axis 0 is the input dim in flax kernels) and
-    broadcasts over it. flax's apply-time shape validation only checks
-    the first flattened leaf (q), which keeps the original shape.
+    ``q`` has the original kernel shape; ``scale`` is per output
+    channel and BROADCASTS over ``q`` — ``q.shape[1:]`` for Dense/Proj
+    kernels (axis 0 is the input dim in flax kernels), ``[out]`` for
+    o_proj-style DenseGeneral kernels whose two leading axes are both
+    contracted. flax's apply-time shape validation only checks the
+    first flattened leaf (q), which keeps the original shape.
 
     ``dtype`` is the COMPUTE dtype the implicit ``__jax_array__``
     dequant targets (stored as static pytree aux data) — it must match
@@ -67,7 +69,8 @@ class QuantizedKernel:
     def reshape(self, *shape):
         if len(shape) == 1 and isinstance(shape[0], (tuple, list)):
             shape = tuple(shape[0])
-        if len(shape) >= 2 and shape[0] == self.q.shape[0]:
+        if (len(shape) >= 2 and shape[0] == self.q.shape[0]
+                and self.scale.size == self.q.size // self.q.shape[0]):
             # input axis kept: reshape q and the per-channel scale in step
             return QuantizedKernel(
                 self.q.reshape(shape), self.scale.reshape(shape[1:]),
@@ -95,13 +98,31 @@ jax.tree_util.register_pytree_with_keys(
 )
 
 
-def _quantize_leaf(leaf):
-    """[in, ...] kernel -> (q int8, scale f32 over axis 0)."""
+def _quantize_leaf(leaf, n_in_axes: int = 1):
+    """Kernel -> (q int8, scale f32 reduced over the input axes).
+
+    ``n_in_axes`` leading axes are contraction (input) axes; the scale
+    is per output channel over the rest. For flax shapes: Dense
+    [in, N] and Proj [in, H, d] quantize with n_in_axes=1 (scale [N] /
+    [H, d]); o_proj-style DenseGeneral kernels [H, d, out] contract
+    their two leading axes, so n_in_axes=2 (scale [out]) — a scale that
+    varied along a contracted axis could not fold out of the matmul
+    (ops/quant_matmul.py applies it to the accumulator, after the
+    contraction)."""
     w = jnp.asarray(leaf, jnp.float32)
-    amax = jnp.max(jnp.abs(w), axis=0)
+    amax = jnp.max(jnp.abs(w), axis=tuple(range(n_in_axes)))
     scale = jnp.maximum(amax, 1e-8) / 127.0
     q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
     return q, scale
+
+
+def concat_kernels_int8(kernels):
+    """Concatenate 2-D QuantizedKernels along the OUTPUT axis without
+    dequantizing (the fused-QKV / fused-gate-up decode matmuls): int8
+    payloads concat on axis 1, per-channel scales on axis 0."""
+    q = jnp.concatenate([k.q for k in kernels], axis=1)
+    s = jnp.concatenate([k.scale.reshape(-1) for k in kernels])
+    return QuantizedKernel(q, s, dtype=kernels[0].dtype)
 
 
 def quantize_params_int8(params, *, min_size: int = 1 << 16,
@@ -111,18 +132,25 @@ def quantize_params_int8(params, *, min_size: int = 1 << 16,
     (norms/biases/embeddings stay high precision — embeddings are
     lookup tables, not streamed matmuls). ``dtype`` is the compute
     dtype the kernels dequantize to inside the model."""
-    quant = jax.jit(_quantize_leaf)
+    quant = jax.jit(_quantize_leaf, static_argnames=("n_in_axes",))
 
     def walk(path, leaf):
         key = path[-1]
         name = getattr(key, "key", getattr(key, "name", None))
+        parent = None
+        if len(path) >= 2:
+            p = path[-2]
+            parent = getattr(p, "key", getattr(p, "name", None))
         if (
             name == "kernel"
             and getattr(leaf, "ndim", 0) >= 2
             and leaf.size >= min_size
             and not isinstance(leaf, QuantizedKernel)
         ):
-            return QuantizedKernel(*quant(leaf), dtype=dtype)
+            # o_proj kernels [H, d, out] contract BOTH leading axes
+            n_in = 2 if (parent == "o_proj" and leaf.ndim == 3) else 1
+            return QuantizedKernel(*quant(leaf, n_in_axes=n_in),
+                                   dtype=dtype)
         return leaf
 
     return jax.tree_util.tree_map_with_path(walk, params)
