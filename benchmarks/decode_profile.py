@@ -25,6 +25,13 @@ explained with data, not spec sheets:
 
 Env: BENCH_VARIANT (default 4b), BENCH_BATCH (16), BENCH_BEAMS (10),
 BENCH_MAX_NEW (50), BENCH_PROMPT (media prompt from the synth set).
+PROFILE_STAGES: comma/space list from {floor, gemv, loop, attn, xattn,
+lm_head, layer, step_full} — empty means all. At 4b on a 16 GB chip the
+full set does not fit in one process (params + prompt KV + gen caches +
+the loop program's internal buffers); run the cache-heavy stages in
+separate invocations. UNIMP_DECODE_IMPL pins the attention impl, so two
+`PROFILE_STAGES=attn` runs give a device-bound kernel A/B (amortized
+in-program, immune to the ~35 ms tunnel RTT).
 Prints one JSON line with every term in ms plus derived GB/s.
 """
 
@@ -45,6 +52,15 @@ def log(msg):
 
 
 INNER = int(os.environ.get("BENCH_INNER", "8"))
+
+_ALL_STAGES = ("floor", "gemv", "loop", "beam", "attn", "xattn",
+               "lm_head", "layer", "step_full")
+_SEL = [s for s in os.environ.get("PROFILE_STAGES", "")
+        .replace(",", " ").split() if s]
+
+
+def want(stage):
+    return not _SEL or stage in _SEL
 
 
 def timed(fn, *args, reps=10, sync=None):
@@ -149,32 +165,39 @@ def main():
         dispatch_s = timed(empty, one, reps=20, sync=lambda o: float(o))
         log(f"[profile] dispatch {dispatch_s*1e3:.2f} ms")
 
-        log("[profile] read floor ...")
+        floor_s = None
+        read_floor_gbps = None
+        if want("floor"):
+            log("[profile] read floor ...")
 
-        @jax.jit
-        def sum_all(p):
-            # amortized like every other term: INNER full passes over the
-            # params inside one program with a data dependency (a single
-            # pass at 4b is ~10 ms of device work vs ~35 ms tunnel RTT)
-            def body(i, acc):
-                return acc + sum(
-                    jnp.sum((x * (1.0 + acc * 1e-20)).astype(jnp.float32))
-                    for x in jax.tree.leaves(p)
-                )
+            @jax.jit
+            def sum_all(p):
+                # amortized like every other term: INNER full passes over
+                # the params inside one program with a data dependency (a
+                # single pass at 4b is ~10 ms device work vs ~35 ms RTT)
+                def body(i, acc):
+                    return acc + sum(
+                        jnp.sum((x * (1.0 + acc * 1e-20))
+                                .astype(jnp.float32))
+                        for x in jax.tree.leaves(p)
+                    )
 
-            return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
+                return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
-        floor_s = timed(sum_all, params, reps=6,
-                        sync=lambda o: float(o))
-        floor_s = max(floor_s - dispatch_s, 1e-6) / INNER
-        read_floor_gbps = param_bytes / floor_s / 1e9
-        log(f"[profile] read_floor {floor_s*1e3:.2f} ms"
-            f" = {read_floor_gbps:.0f} GB/s over {param_bytes/1e9:.2f} GB")
+            floor_s = timed(sum_all, params, reps=6,
+                            sync=lambda o: float(o))
+            floor_s = max(floor_s - dispatch_s, 1e-6) / INNER
+            read_floor_gbps = param_bytes / floor_s / 1e9
+            log(f"[profile] read_floor {floor_s*1e3:.2f} ms"
+                f" = {read_floor_gbps:.0f} GB/s over"
+                f" {param_bytes/1e9:.2f} GB")
 
         # GEMV weight-stream: [32768, 65536] bf16 (4.3 GB) x [65536, 8]
         # through the MXU — the shape class a decode step actually
         # streams weights through (reduces measure the VPU path, which
-        # on this chip runs far below the matmul stream rate)
+        # on this chip runs far below the matmul stream rate). Amortized
+        # inside one program: a single-call minus-dispatch estimate went
+        # negative under async-pipelining jitter.
         w_bytes = 32768 * 65536 * 2
 
         def _floor_gemv():
@@ -182,17 +205,23 @@ def main():
             x = jnp.ones((65536, 8), jnp.bfloat16)
 
             @jax.jit
-            def gemv(w, x):
-                return jax.lax.dot_general(
-                    w, x, dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
+            def gemv_loop(w, x):
+                def body(i, acc):
+                    o = jax.lax.dot_general(
+                        w, x * (1.0 + acc * 1e-20),
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    return acc + jnp.sum(o)
 
-            s = timed(gemv, w, x, reps=8, sync=lambda o: np.asarray(o[0]))
+                return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
+
+            s = timed(gemv_loop, w, x, reps=6, sync=lambda o: float(o))
             del w, x
-            return w_bytes / max(s - dispatch_s, 1e-6) / 1e9
+            return w_bytes / (max(s - dispatch_s, 1e-6) / INNER) / 1e9
 
-        read_floor_gemv_gbps = attempt("read_floor_gemv", _floor_gemv)
+        read_floor_gemv_gbps = (attempt("read_floor_gemv", _floor_gemv)
+                                if want("gemv") else None)
         if read_floor_gemv_gbps:
             log(f"[profile] read_floor_gemv {read_floor_gemv_gbps:.0f} GB/s")
 
@@ -227,53 +256,117 @@ def main():
             np.asarray(toks)
             return time.perf_counter() - t0
 
-        loop_s = attempt("loop", _loop)
+        loop_s = attempt("loop", _loop) if want("loop") else None
         loop_step_s = loop_s / max_new if loop_s else None
         if loop_step_s:
             log(f"[profile] loop_step {loop_step_s*1e3:.2f} ms")
 
+        # ---- beam-selection math alone (the non-model part of a step):
+        # log_softmax over [B, K, V] + top-2K over K*V + the
+        # retire/alive top-Ks and gathers, at the real shapes
+        beam_s = None
+        if want("beam"):
+            v = int(cfg.lm.vocab_size)
+            kbm = beams
+
+            @jax.jit
+            def beam_math(logits, alive_scores, alive_tok, fin_scores,
+                          fin_tok):
+                def body(i, carry):
+                    acc, alive_scores = carry
+                    lg = logits * (1.0 + acc * 1e-20)
+                    logp = jax.nn.log_softmax(lg.astype(jnp.float32), -1)
+                    cand = (alive_scores[:, :, None] + logp).reshape(
+                        batch, kbm * v)
+                    top_vals, top_idx = jax.lax.top_k(cand, 2 * kbm)
+                    src = top_idx // v
+                    tok = (top_idx % v).astype(jnp.int32)
+                    is_eos = tok == 2
+                    cand_fin = jnp.where(is_eos, top_vals, NEG)
+                    all_sc = jnp.concatenate([fin_scores, cand_fin], 1)
+                    all_seq = jnp.concatenate(
+                        [fin_tok,
+                         jnp.take_along_axis(
+                             alive_tok, src[:, :, None], axis=1)], 1)
+                    keep_vals, keep_idx = jax.lax.top_k(all_sc, kbm)
+                    new_fin_tok = jnp.take_along_axis(
+                        all_seq, keep_idx[:, :, None], 1)
+                    a_vals, a_idx = jax.lax.top_k(
+                        jnp.where(is_eos, NEG, top_vals), kbm)
+                    a_src = jnp.take_along_axis(src, a_idx, 1)
+                    new_alive = jnp.take_along_axis(
+                        alive_tok, a_src[:, :, None], 1)
+                    acc = (acc + jnp.sum(keep_vals) + jnp.sum(a_vals)
+                           + jnp.sum(new_alive) * 1e-20
+                           + jnp.sum(new_fin_tok) * 1e-20)
+                    return acc, alive_scores
+                out, _ = jax.lax.fori_loop(
+                    0, INNER, body, (jnp.float32(0.0), alive_scores))
+                return out
+
+            NEG = -1e30
+            lg0 = jnp.zeros((batch, kbm, v), jnp.float32)
+            asc0 = jnp.zeros((batch, kbm), jnp.float32)
+            atok0 = jnp.zeros((batch, kbm, max_new), jnp.int32)
+            fsc0 = jnp.full((batch, kbm), NEG, jnp.float32)
+            ftok0 = jnp.zeros((batch, kbm, max_new), jnp.int32)
+            log("[profile] beam_math ...")
+            beam_s = attempt("beam_math", lambda: timed(
+                beam_math, lg0, asc0, atok0, fsc0, ftok0, reps=6,
+                sync=lambda o: float(o)))
+            if beam_s is not None:
+                beam_s = max(beam_s - dispatch_s, 0.0) / INNER
+                log(f"[profile] beam_math {beam_s*1e3:.2f} ms (amortized)")
+
         # ---------------- live decode state ----------------
-        log("[profile] prefill ...")
+        bk = batch * beams
+        need_state = any(want(s) for s in
+                         ("attn", "xattn", "layer", "step_full"))
+        state = caches = anc = tok_in = pos1 = None
+        step_idx = jnp.int32(10)  # mid-decode: caches half full
+        prompt_kv_bytes = xattn_kv_bytes = gen_kv_bytes = 0
         from unimp_tpu.decode.sampler import left_align
 
         ids_l, start = left_align(ids, jnp.asarray(probe["seq_len"]),
                                   tok.pad_token_id)
-        positions = jnp.maximum(
-            jnp.arange(t, dtype=jnp.int32)[None, :] - start[:, None], 0
-        )
-        q_media = compute_q_media(ids_l, tok.media_token_id)
-        n_media = q_media[:, -1]
-        kv_media = UniMPModel.kv_media_for(latents)
-
-        @jax.jit
-        def prefill(p, ids_l, start, positions, latents, q_media):
-            logits, kv = model.apply(
-                {"params": p}, ids_l, latents=latents, q_media=q_media,
-                kv_start=start, positions=positions, return_kv=True,
-                last_logit_only=True,
+        if need_state:
+            log("[profile] prefill ...")
+            positions = jnp.maximum(
+                jnp.arange(t, dtype=jnp.int32)[None, :] - start[:, None], 0
             )
-            return logits[:, -1], kv
+            q_media = compute_q_media(ids_l, tok.media_token_id)
+            n_media = q_media[:, -1]
+            kv_media = UniMPModel.kv_media_for(latents)
 
-        last_logits, kv = prefill(params, ids_l, start, positions, latents,
-                                  q_media)
-        np.asarray(last_logits)
-        state = {
-            "self": kv["self"], "xattn": kv.get("xattn", []),
-            "kv_start": start, "n_media": n_media, "kv_media": kv_media,
-        }
-        bk = batch * beams
-        caches = model.init_gen_caches(bk, max_new)
-        anc = jnp.tile(
-            jnp.arange(bk, dtype=jnp.int32)[:, None], (1, max_new)
-        )
-        tok_in = jnp.full((bk, 1), 11, jnp.int32)
-        start_k = jnp.repeat(start, beams, axis=0)
-        pos1 = (t + 10 - start_k)[:, None]
-        step_idx = jnp.int32(10)  # mid-decode: caches half full
+            @jax.jit
+            def prefill(p, ids_l, start, positions, latents, q_media):
+                logits, kv = model.apply(
+                    {"params": p}, ids_l, latents=latents, q_media=q_media,
+                    kv_start=start, positions=positions, return_kv=True,
+                    last_logit_only=True,
+                )
+                return logits[:, -1], kv
 
-        prompt_kv_bytes = tree_bytes(state["self"])
-        xattn_kv_bytes = tree_bytes(state["xattn"])
-        gen_kv_bytes = tree_bytes(caches)
+            last_logits, kv = prefill(params, ids_l, start, positions,
+                                      latents, q_media)
+            np.asarray(last_logits)
+            state = {
+                "self": kv["self"], "xattn": kv.get("xattn", []),
+                "kv_start": start, "n_media": n_media,
+                "kv_media": kv_media,
+            }
+            del last_logits, kv
+            caches = model.init_gen_caches(bk, max_new)
+            anc = jnp.tile(
+                jnp.arange(bk, dtype=jnp.int32)[:, None], (1, max_new)
+            )
+            tok_in = jnp.full((bk, 1), 11, jnp.int32)
+            start_k = jnp.repeat(start, beams, axis=0)
+            pos1 = (t + 10 - start_k)[:, None]
+
+            prompt_kv_bytes = tree_bytes(state["self"])
+            xattn_kv_bytes = tree_bytes(state["xattn"])
+            gen_kv_bytes = tree_bytes(caches)
 
         # ---------------- attention-only ----------------
         from unimp_tpu.ops.decode_attention import decode_attention
@@ -300,20 +393,30 @@ def main():
 
             return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
+        # the attention probes never touch the params: free the 8 GB so
+        # the standalone pallas probe (whose cache inputs may need a
+        # layout-change copy at the program boundary) fits a 16 GB chip
+        if not any(want(s) for s in ("lm_head", "layer", "step_full")):
+            del params
+            params = None
+
         q_in = jnp.zeros((bk, heads, head_dim), cfg.compute_dtype)
-        log("[profile] attn_only ...")
-        attn_s = attempt("attn_only", lambda: timed(
-            attn_only, q_in, state["self"], caches, anc,
-            reps=6, sync=lambda o: float(o)))
-        if attn_s is not None:
-            attn_s = max(attn_s - dispatch_s, 0.0) / INNER
-            log(f"[profile] attn_only {attn_s*1e3:.2f} ms (amortized)")
+        attn_s = None
+        if want("attn"):
+            impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
+            log(f"[profile] attn_only (impl={impl}) ...")
+            attn_s = attempt("attn_only", lambda: timed(
+                attn_only, q_in, state["self"], caches, anc,
+                reps=6, sync=lambda o: float(o)))
+            if attn_s is not None:
+                attn_s = max(attn_s - dispatch_s, 0.0) / INNER
+                log(f"[profile] attn_only {attn_s*1e3:.2f} ms (amortized)")
 
         # gated cross-attention term: beam-shared single-query reads over
         # the projected media-latent KV — every xattn layer, every step
         from unimp_tpu.ops.decode_attention import single_query_attention
 
-        n_xattn = len(state["xattn"])
+        n_xattn = len(state["xattn"]) if state else 0
 
         @jax.jit
         def xattn_only(q, kvm):
@@ -333,7 +436,7 @@ def main():
             return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
         xattn_s = None
-        if n_xattn:
+        if n_xattn and want("xattn"):
             log("[profile] xattn_only ...")
             xattn_s = attempt("xattn_only", lambda: timed(
                 xattn_only, q_in, state["xattn"],
@@ -345,7 +448,6 @@ def main():
 
         # lm-head term timed directly (the decode path always computes
         # [BK, V] logits; this isolates that matmul's cost)
-        log("[profile] lm_head ...")
         d_model = cfg.lm.hidden_size
 
         @jax.jit
@@ -365,7 +467,8 @@ def main():
                 preferred_element_type=jnp.float32,
             )
 
-        h_in = jnp.zeros((bk, d_model), cfg.compute_dtype)
+        h_in = (jnp.zeros((bk, d_model), cfg.compute_dtype)
+                if want("lm_head") else None)
 
         @jax.jit
         def lm_head_scalar(p, h):
@@ -377,18 +480,22 @@ def main():
 
             return jax.lax.fori_loop(0, INNER, body, jnp.float32(0.0))
 
-        lm_head_s = attempt("lm_head", lambda: timed(
-            lm_head_scalar, params, h_in, reps=6,
-            sync=lambda o: float(o)))
-        if lm_head_s is not None:
-            lm_head_s = max(lm_head_s - dispatch_s, 0.0) / INNER
-            log(f"[profile] lm_head {lm_head_s*1e3:.2f} ms (amortized)")
+        lm_head_s = None
+        if want("lm_head"):
+            log("[profile] lm_head ...")
+            lm_head_s = attempt("lm_head", lambda: timed(
+                lm_head_scalar, params, h_in, reps=6,
+                sync=lambda o: float(o)))
+            if lm_head_s is not None:
+                lm_head_s = max(lm_head_s - dispatch_s, 0.0) / INNER
+                log(f"[profile] lm_head {lm_head_s*1e3:.2f} ms (amortized)")
 
         # ---------------- one-layer step probe ----------------
         # One decoder block's decode step (self-attn on live caches +
         # MLP), a small fast compile; x num_layers estimates the
         # backbone term without the monolithic step program.
-        blk_params = params[f"block_{cfg.lm.num_layers // 2}"]
+        blk_params = (params[f"block_{cfg.lm.num_layers // 2}"]
+                      if want("layer") else None)
 
         def _layer_probe():
             from unimp_tpu.models.lm import DecoderBlock
@@ -423,7 +530,8 @@ def main():
                       sync=lambda o: float(o[0]))
             return max(s - dispatch_s, 0.0) / INNER
 
-        layer_s = attempt("layer_step", _layer_probe)
+        layer_s = attempt("layer_step", _layer_probe) if want("layer") \
+            else None
         if layer_s is not None:
             log(f"[profile] layer_step {layer_s*1e3:.2f} ms"
                 f" (x{cfg.lm.num_layers} = "
@@ -445,14 +553,17 @@ def main():
                 0, INNER, body, (jnp.float32(0.0), caches)
             )
 
-        step_full = jax.jit(run_step)
-        log("[profile] step_full ...")
-        step_full_s = attempt("step_full", lambda: timed(
-            step_full, params, tok_in, caches, anc, pos1, reps=6,
-            sync=lambda o: float(o[0])))
-        if step_full_s is not None:
-            step_full_s = max(step_full_s - dispatch_s, 0.0) / INNER
-            log(f"[profile] step_full {step_full_s*1e3:.2f} ms (amortized)")
+        step_full_s = None
+        if want("step_full"):
+            step_full = jax.jit(run_step)
+            log("[profile] step_full ...")
+            step_full_s = attempt("step_full", lambda: timed(
+                step_full, params, tok_in, caches, anc, pos1, reps=6,
+                sync=lambda o: float(o[0])))
+            if step_full_s is not None:
+                step_full_s = max(step_full_s - dispatch_s, 0.0) / INNER
+                log(f"[profile] step_full {step_full_s*1e3:.2f} ms"
+                    " (amortized)")
 
     step_bytes = (param_bytes + prompt_kv_bytes + xattn_kv_bytes
                   + gen_kv_bytes)
@@ -471,7 +582,9 @@ def main():
         "prompt_kv_gb": round(prompt_kv_bytes / 1e9, 2),
         "xattn_kv_gb": round(xattn_kv_bytes / 1e9, 2),
         "gen_kv_gb": round(gen_kv_bytes / 1e9, 2),
-        "read_floor_gbps": round(read_floor_gbps, 1),
+        "read_floor_gbps": (round(read_floor_gbps, 1)
+                            if read_floor_gbps else None),
+        "decode_impl": os.environ.get("UNIMP_DECODE_IMPL", "auto"),
         "read_floor_gemv_gbps": (round(read_floor_gemv_gbps, 1)
                                  if read_floor_gemv_gbps else None),
         "dispatch_ms": round(dispatch_s * 1e3, 2),
@@ -483,13 +596,14 @@ def main():
         "layer_step_ms": ms(layer_s),
         "layers_extrapolated_ms": (
             ms(layer_s * cfg.lm.num_layers) if layer_s is not None else None),
+        "beam_math_ms": ms(beam_s),
         "loop_step_ms": ms(loop_step_s),
         "loop_total_s": round(loop_s, 2) if loop_s else None,
         "loop_eff_gbps": (round(step_bytes / loop_step_s / 1e9, 1)
                           if loop_step_s else None),
         "vs_read_floor": (round(
             (step_bytes / loop_step_s) / (param_bytes / floor_s), 3)
-            if loop_step_s else None),
+            if loop_step_s and floor_s else None),
     }
     print(json.dumps(out))
 

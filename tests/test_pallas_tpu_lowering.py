@@ -100,6 +100,24 @@ def test_prompt_only_kernel_lowers_for_tpu(b, kb, s, h, hkv, d, int8):
     assert len(exp.mlir_module_serialized) > 0
 
 
+@pytest.mark.parametrize("m,k,n", [
+    (160, 2560, 4096),   # 4b decode rows (B*K=160) x an MLP block
+    (1, 2560, 1024),     # greedy single row
+    (8, 100, 70),        # pad path at TPU tiling
+])
+def test_quant_matmul_lowers_for_tpu(m, k, n):
+    from unimp_tpu.ops.quant_matmul import quant_matmul
+
+    ks = jax.random.split(jax.random.PRNGKey(2), 3)
+    x = jax.random.normal(ks[0], (m, k), jnp.bfloat16)
+    q = jax.random.randint(ks[1], (k, n), -127, 128, jnp.int8)
+    s = jax.random.uniform(ks[2], (n,), jnp.float32)
+
+    f = jax.jit(lambda x: quant_matmul(x, q, s, interpret=False))
+    exp = export.export(f, platforms=["tpu"])(x)
+    assert len(exp.mlir_module_serialized) > 0
+
+
 def test_full_beam_generate_lowers_for_tpu(monkeypatch):
     """Integration: the whole jitted beam-search program (prefill +
     while-loop decode + both fused kernels via the model's decode path)

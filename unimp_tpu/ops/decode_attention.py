@@ -18,12 +18,17 @@ and computes single-query attention as two partial attentions merged by
 their logsumexps (the flash-attention combine identity).
 
 Caches are heads-major: prompt [B, Hkv, T, D], gen [BK, Hkv, G, D] —
-the layout the fused Pallas kernel requires (it blocks one (batch,
-head) slab per grid step and Pallas can only slice the last two array
-dims; see ops/decode_attention_pallas.py). On TPU the default impl is
-that kernel (softmax intermediates never touch HBM); elsewhere (and for
-int8 caches) the XLA einsum path below computes identical math. Pin
-with impl=/UNIMP_DECODE_IMPL ("pallas" | "xla").
+the layout the fused Pallas kernel requires (it blocks (batch,
+head-chunk) slabs per grid step and Pallas can only slice the last two
+array dims; see ops/decode_attention_pallas.py).
+
+Dispatch note (measured on v5e, 4b eval bench): the DEFAULT impl is the
+XLA einsum path below — at single-query decode shapes the math is
+MXU-issue-bound (K~10 query rows per (batch, head) pair), so the Pallas
+kernel's VMEM-resident softmax did not beat XLA's batched einsums
+end-to-end (6.9 vs 9.4 items/s for the per-(b,h)-program v1; parity for
+the head-chunked v2). The kernel remains available via
+impl="pallas" / UNIMP_DECODE_IMPL=pallas ("xla" pins the einsum path).
 
 ALiBi biases use consistent absolute positions across both segments so
 the merge weights are exact.
@@ -163,7 +168,7 @@ def single_query_attention(
     if impl is None:
         impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"  # measured: see the module docstring's dispatch note
     if impl == "pallas":
         from unimp_tpu.ops.decode_attention_pallas import (
             pallas_single_query_attention,
@@ -235,7 +240,7 @@ def decode_attention(
     if impl is None:
         impl = os.environ.get("UNIMP_DECODE_IMPL", "auto")
     if impl == "auto":
-        impl = "pallas" if jax.default_backend() == "tpu" else "xla"
+        impl = "xla"  # measured: see the module docstring's dispatch note
     if impl == "pallas":
         from unimp_tpu.ops.decode_attention_pallas import (
             pallas_decode_attention,
