@@ -570,3 +570,51 @@ def test_model_decode_kv_int8_pallas_impl(model_and_params, monkeypatch):
     np.testing.assert_array_equal(outs["xla"][0], outs["pallas"][0])
     np.testing.assert_allclose(outs["xla"][1], outs["pallas"][1],
                                rtol=1e-3, atol=1e-3)
+
+
+def test_kv_int8_pins_pallas_dispatch(model_and_params, monkeypatch):
+    """kv_int8 must auto-pin the Pallas decode impl on a single device
+    (under XLA the dequantized cache copies materialize — measured ~25%
+    slower at 4b) and warn when a >1-device mesh forces the XLA impl."""
+    cfg, model, params = model_and_params
+    monkeypatch.delenv("UNIMP_DECODE_IMPL", raising=False)
+    gcfg = GenerationConfig(max_new_tokens=4, eos_id=3, pad_id=0,
+                            kv_int8=True)
+    gen = Generator(model, gcfg, media_id=7)
+    assert gen.attn_impl == "pallas"
+
+    # bf16 caches keep the measured default (auto -> xla inside the ops)
+    gen_bf16 = Generator(
+        model, dataclasses.replace(gcfg, kv_int8=False), media_id=7
+    )
+    assert gen_bf16.attn_impl is None
+
+    # explicit env pin wins over the kv_int8 auto-pin
+    monkeypatch.setenv("UNIMP_DECODE_IMPL", "xla")
+    gen_pin = Generator(model, gcfg, media_id=7)
+    assert gen_pin.attn_impl is None
+    monkeypatch.delenv("UNIMP_DECODE_IMPL", raising=False)
+
+    # multi-device mesh: XLA impl stays (no Pallas SPMD rule) + loud warn
+    from jax.sharding import Mesh
+
+    devs = np.array(jax.devices()[:2]).reshape(2, 1, 1)
+    mesh = Mesh(devs, ("dp", "fsdp", "tp"))
+    with pytest.warns(UserWarning, match="kv_int8"):
+        gen_mesh = Generator(model, gcfg, media_id=7, mesh=mesh)
+    assert gen_mesh.attn_impl == "xla"
+
+
+def test_batched_engine_kv_int8_pins_pallas(monkeypatch):
+    from unimp_tpu.serve.batching import BatchedStreamingEngine
+
+    monkeypatch.delenv("UNIMP_DECODE_IMPL", raising=False)
+
+    class _Tok:
+        eos_token_id = 3
+        pad_token_id = 0
+
+    eng = BatchedStreamingEngine(None, _Tok(), kv_int8=True)
+    assert eng.attn_impl == "pallas"
+    eng_bf16 = BatchedStreamingEngine(None, _Tok(), kv_int8=False)
+    assert eng_bf16.attn_impl is None

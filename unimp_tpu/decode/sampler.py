@@ -113,6 +113,25 @@ class Generator:
                       and not os.environ.get("UNIMP_DECODE_IMPL"))
             else None
         )
+        if gen_cfg.kv_int8 and not os.environ.get("UNIMP_DECODE_IMPL"):
+            # int8 caches only pay under the fused Pallas kernels (dequant
+            # stays in VMEM); under XLA the dequantized cache copies
+            # materialize each step — measured ~25% SLOWER at 4b
+            # (benchmarks/RESULTS.md). Pin Pallas on a single device; under
+            # a >1-device mesh Pallas has no SPMD rule, so warn that
+            # kv_int8 is a memory lever only there.
+            if self.attn_impl is None:
+                self.attn_impl = "pallas"
+            else:
+                import warnings
+
+                warnings.warn(
+                    "kv_int8 with a multi-device mesh runs the XLA decode "
+                    "attention, where int8 caches were measured SLOWER "
+                    "than bf16 (dequant copies materialize per step); "
+                    "kv_int8 acts as a memory lever only here",
+                    stacklevel=2,
+                )
         self._fn = None
 
     def _pin(self, a, spec_for_rank):

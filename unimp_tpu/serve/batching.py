@@ -35,6 +35,7 @@ executable.
 from __future__ import annotations
 
 import functools
+import os
 import queue
 import threading
 import time
@@ -69,9 +70,16 @@ class BatchedStreamingEngine:
         self.prompt_bucket = prompt_bucket
         self.chunk = max(1, chunk)
         # int8 prompt/latent/gen KV: decode streams every cache fully
-        # each step, so halving its bytes shaves the HBM-bound step (the
-        # fused kernels dequantize in VMEM — see ops/decode_attention)
+        # each step, so halving its bytes shaves the HBM-bound step — but
+        # ONLY under the fused Pallas kernels, which dequantize in VMEM.
+        # Under the default XLA impl the dequantized copies materialize
+        # per step (measured ~25% slower at 4b, benchmarks/RESULTS.md),
+        # so kv_int8 pins the Pallas decode impl for the wave programs.
         self.kv_int8 = kv_int8
+        self.attn_impl = (
+            "pallas" if kv_int8 and not os.environ.get("UNIMP_DECODE_IMPL")
+            else None
+        )
         self._inbox: "queue.Queue" = queue.Queue()
         self._fns = {}
         self._encode_fn = None
@@ -216,7 +224,8 @@ class BatchedStreamingEngine:
                 emit = jnp.where(done, pad_id, nxt)
                 new_done = done | (emit == eos_id)
                 pos = (t + step_i - kv_start)[:, None]
-                ds = dict(state, gen=gen, step=step_i, gen_index=None)
+                ds = dict(state, gen=gen, step=step_i, gen_index=None,
+                          attn_impl=self.attn_impl)
                 new_logits, gen = model.apply(
                     {"params": params}, emit[:, None], positions=pos,
                     decode_state=ds,
