@@ -63,11 +63,17 @@ def test_greedy_matches_uncached_rollout(model_and_params):
 
 def _reference_beam(model, params, prompt, k, max_new, eos_id, lp=1.0,
                     early_stopping=True):
-    """Slow HF-style beam search on full (uncached) forwards, numpy."""
+    """Slow classic-HF beam search on full (uncached) forwards, numpy.
+
+    Literal port of the transformers<4.50 BeamSearchScorer semantics the
+    reference ran under (process/is_done/finalize, incl. the
+    early_stopping=False improvement heuristic and finalize's
+    score-competition between banked and running hypotheses)."""
     prompt = list(prompt)
     plen = len(prompt)
     alive = [(0.0, [])]  # (sum_logprob, generated)
     finished = []  # (norm_score, generated)
+    done = False
 
     for step in range(max_new):
         # candidate expansion
@@ -90,16 +96,30 @@ def _reference_beam(model, params, prompt, k, max_new, eos_id, lp=1.0,
                     new_alive.append((score, gen_toks + [tok]))
         alive = new_alive
         finished = sorted(finished, key=lambda f: -f[0])[:k]
-        if early_stopping and len(finished) >= k:
+        # BeamHypotheses.is_done
+        if len(finished) >= k:
+            if early_stopping:
+                done = True
+            else:
+                best_running = max(s for s, _ in alive) / (
+                    (plen + step + 1) ** lp
+                )
+                done = finished[-1][0] >= best_running
+        if done:
             break
-    for score, gen_toks in alive:
-        if len(finished) < k:
+    if not done:
+        # finalize: running beams compete by normalized score (add()
+        # drops the worst hypothesis when over capacity)
+        for score, gen_toks in alive:
             finished.append((score / (plen + max_new) ** lp, gen_toks))
     finished.sort(key=lambda f: -f[0])
     return finished[:k]
 
 
-def test_beam_matches_reference(model_and_params):
+@pytest.mark.parametrize(
+    "lp,early", [(1.0, True), (1.0, False), (0.6, False), (1.8, True)]
+)
+def test_beam_matches_reference(model_and_params, lp, early):
     cfg, model, params = model_and_params
     rng = np.random.default_rng(1)
     k, max_new = 4, 5
@@ -118,7 +138,7 @@ def test_beam_matches_reference(model_and_params):
         model,
         GenerationConfig(
             max_new_tokens=max_new, eos_id=eos_id, pad_id=0, num_beams=k,
-            num_return_sequences=k,
+            num_return_sequences=k, length_penalty=lp, early_stopping=early,
         ),
         media_id=999,
     )
@@ -131,7 +151,8 @@ def test_beam_matches_reference(model_and_params):
     ]
     got_scores = np.asarray(scores)[0]
 
-    want = _reference_beam(model, params, prompt[0].tolist(), k, max_new, eos_id)
+    want = _reference_beam(model, params, prompt[0].tolist(), k, max_new,
+                           eos_id, lp=lp, early_stopping=early)
     want_seqs = [w[1] for w in want]
     want_scores = [w[0] for w in want]
     assert got == want_seqs, (got, want_seqs)

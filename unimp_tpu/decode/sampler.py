@@ -53,6 +53,19 @@ class GenerationConfig:
     # cache fully each step, so int8 storage halves that HBM term; the
     # dequant (convert + per-head scale) fuses into the attention math
     kv_int8: bool = False
+    # Beam length-penalty convention. transformers changed it in the
+    # v4.50 vectorized rewrite:
+    #   "full":      score / (prompt_len + generated_before_eos)**lp —
+    #                classic BeamSearchScorer (BeamHypotheses.add uses the
+    #                whole input_ids length), the semantics the reference
+    #                ran under transformers>=4.29
+    #                (/root/reference/requirements.txt:26)
+    #   "generated": score / (generated_incl_eos)**lp — transformers
+    #                >=4.50 GenerationMixin._update_finished_beams
+    # HR/NDCG parity with the reference requires "full" (the default);
+    # "generated" is golden-tested against the REAL installed
+    # transformers generate (tests/test_hf_beam_parity.py).
+    length_norm: str = "full"
 
 
 def quantize_kv_cache(cache: dict) -> dict:
@@ -317,6 +330,9 @@ class Generator:
         k = cfg.num_beams
         max_new = cfg.max_new_tokens
         lp = cfg.length_penalty
+        if cfg.length_norm not in ("full", "generated"):
+            raise ValueError(f"unknown length_norm: {cfg.length_norm!r}")
+        norm_gen = cfg.length_norm == "generated"
 
         start_k = jnp.repeat(start, k, axis=0)  # positions only
         gen0 = self._rows_gen(
@@ -355,9 +371,14 @@ class Generator:
             rank = jnp.arange(2 * k)[None, :]
 
             # ---- retire EOS candidates with rank < K to the finished set
-            # HF normalizes by the full hypothesis length at add() time:
-            # prompt_len + tokens generated so far (eos excluded).
-            hyp_len = (seq_len + step).astype(jnp.float32)[:, None]
+            # "full": classic HF normalizes by the whole hypothesis length
+            # at add() time — prompt_len + tokens generated so far (eos
+            # excluded). "generated": >=4.50 normalizes by
+            # cur_len + 1 - prompt_len = generated incl. the eos token.
+            if norm_gen:
+                hyp_len = jnp.full((b, 1), step + 1, jnp.float32)
+            else:
+                hyp_len = (seq_len + step).astype(jnp.float32)[:, None]
             cand_fin_score = jnp.where(
                 is_eos & (rank < k) & ~done[:, None],
                 top_vals / hyp_len**lp,
@@ -400,10 +421,13 @@ class Generator:
                 row_done = new_fin_count >= k
             else:
                 # HF heuristic: the best attainable running score cannot
-                # beat the worst banked one.
-                best_running = jnp.max(new_alive_scores, axis=1) / (
-                    (seq_len.astype(jnp.float32) + step + 1) ** lp
+                # beat the worst banked one (same length convention as
+                # banking: full hyp length vs generated-only).
+                heur_len = (
+                    jnp.full((b,), step + 1, jnp.float32) if norm_gen
+                    else seq_len.astype(jnp.float32) + step + 1
                 )
+                best_running = jnp.max(new_alive_scores, axis=1) / heur_len**lp
                 worst_fin = jnp.min(new_fin_scores, axis=1)
                 row_done = (new_fin_count >= k) & (worst_fin >= best_running)
             new_done = done | row_done
@@ -434,21 +458,22 @@ class Generator:
         (step, alive_tok, alive_scores, fin_tok, fin_scores,
          fin_count, done, _, _, _) = jax.lax.while_loop(cond, body, carry)
 
-        # ---- finalize: fill with running beams where fewer than K banked
-        # (HF finalize: running beams added in score order).
-        run_norm = alive_scores / (
-            (seq_len.astype(jnp.float32)[:, None] + max_new) ** cfg.length_penalty
+        # ---- finalize: the running beams of NOT-done rows compete with
+        # the banked set purely by normalized score (classic finalize
+        # routes them through BeamHypotheses.add, which drops the worst
+        # when over capacity; >=4.50 banks the final step's top-K
+        # candidates through the same merged top-k). Done rows keep their
+        # banked set only (classic: `if beam_hyp.is_done: continue`).
+        fin_len = (
+            jnp.full((b, 1), max_new, jnp.float32) if norm_gen
+            else seq_len.astype(jnp.float32)[:, None] + max_new
         )
+        run_norm = alive_scores / fin_len**lp
+        run_norm = jnp.where(done[:, None], NEG_INF, run_norm)
         all_scores = jnp.concatenate([fin_scores, run_norm], axis=1)
-        # prefer banked hypotheses: running ones only fill empty slots
-        pref = jnp.where(
-            jnp.arange(2 * k)[None, :] < k,
-            jnp.where(all_scores > NEG_INF / 2, all_scores + 1e6, all_scores),
-            all_scores,
-        )
         all_tok = jnp.concatenate([fin_tok, alive_tok], axis=1)
         r = self.cfg.num_return_sequences
-        _, sel_idx = jax.lax.top_k(pref, r)
+        _, sel_idx = jax.lax.top_k(all_scores, r)
         out_tok = jnp.take_along_axis(all_tok, sel_idx[:, :, None], axis=1)
         out_scores = jnp.take_along_axis(all_scores, sel_idx, axis=1)
         return out_tok, out_scores
