@@ -120,7 +120,11 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None,
             # gather on the mesh (no device->host readback per batch)
             return cache.gather(batch["image_ids"],
                                 place(batch["image_ids"]))
-        return encode(params, place(batch["images"]))
+        if "images" in batch:
+            return encode(params, place(batch["images"]))
+        # text-only batch (no media columns): the model's vision path is
+        # skipped entirely (models/flamingo.py:236)
+        return None
 
     pending = None  # (tokens_device, n_rows, batch, t_start)
     t0 = time.perf_counter()
@@ -148,11 +152,12 @@ def _generate_batches(model, params, loader, tokenizer, gen_cfg, mesh=None,
 
 def _rank_eval(model, params, loader, tokenizer, *, max_new_tokens, ks=(3, 5, 10),
                num_beams=10, dump_path: Optional[str] = None, mesh=None,
-               kv_int8=False, cache_holder=None):
+               kv_int8=False, cache_holder=None, length_norm="full"):
     gen_cfg = GenerationConfig(
         max_new_tokens=max_new_tokens, eos_id=tokenizer.eos_token_id,
         pad_id=tokenizer.eos_token_id, num_beams=num_beams,
         num_return_sequences=num_beams, kv_int8=kv_int8,
+        length_norm=length_norm,
     )
     per_user = []
     throughput = []
