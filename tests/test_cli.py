@@ -12,6 +12,8 @@ import pytest
 
 from unimp_tpu.tools import synth_data
 
+pytestmark = pytest.mark.slow  # e2e/training/subprocess: excluded from the quick lane
+
 
 @pytest.fixture(scope="module")
 def env(tmp_path_factory):

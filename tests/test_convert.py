@@ -7,6 +7,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from unimp_tpu.models import UniMPModel, compute_q_media
 from unimp_tpu.models.config import (
@@ -40,6 +41,7 @@ def _tiny_neox_model():
     return cfg, model, params
 
 
+@pytest.mark.slow
 def test_openflamingo_state_dict_maps():
     cfg, model, params = _tiny_neox_model()
     rng = np.random.default_rng(0)

@@ -33,6 +33,7 @@ def _full_logits(model, params, ids):
     return logits
 
 
+@pytest.mark.slow
 def test_greedy_matches_uncached_rollout(model_and_params):
     cfg, model, params = model_and_params
     rng = np.random.default_rng(0)
@@ -189,6 +190,7 @@ def test_padding_invariance(model_and_params):
     )
 
 
+@pytest.mark.slow
 def test_multimodal_generate_runs(model_and_params):
     cfg, model, params = model_and_params
     rng = np.random.default_rng(3)
@@ -300,6 +302,7 @@ def _rand_decode_case(rng, b, k_beams, t, g, h, d, alibi=False):
     return q, pk, pv, gk, gv, kv_start, sel, slopes
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("step", [1, 7, 16, 37, 50])
 @pytest.mark.parametrize("use_beam_sel", [True, False])
 def test_chunked_gen_segment_matches_full_read(step, use_beam_sel):
@@ -460,6 +463,7 @@ def test_pallas_single_query_attention_matches_xla(kb, gqa):
     )
 
 
+@pytest.mark.slow
 def test_model_decode_with_pallas_impl_matches_xla(model_and_params,
                                                    monkeypatch):
     """End-to-end beam generate with UNIMP_DECODE_IMPL=pallas (interpret
@@ -565,6 +569,7 @@ def test_pallas_single_query_attention_int8_matches_xla():
     )
 
 
+@pytest.mark.slow
 def test_model_decode_kv_int8_pallas_impl(model_and_params, monkeypatch):
     """kv_int8 generate under the pallas pin: in-kernel dequant must keep
     the beams the XLA int8 dispatch produces."""

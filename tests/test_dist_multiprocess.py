@@ -11,6 +11,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/training/subprocess: excluded from the quick lane
+
 _WORKER = textwrap.dedent(
     """
     import sys

@@ -66,6 +66,7 @@ def test_text_metrics_sanity():
     assert T.bleu([preds[0]], [refs[0]])["bleu"] == pytest.approx(1.0)
 
 
+@pytest.mark.slow
 def test_evaluator_end_to_end(tmp_path):
     """Full path: synthetic data -> loaders -> batched beam eval -> metrics."""
     from unimp_tpu.data.dataset import TaskDataset
@@ -119,6 +120,7 @@ def test_evaluator_end_to_end(tmp_path):
     assert {"recall", "precision", "f1"} <= set(m3)
 
 
+@pytest.mark.slow
 def test_latent_cache_matches_pixel_path(tmp_path):
     """load_images=False (item-id batches + device latent cache) must
     reproduce the pixel path exactly: same latents, same generations,
@@ -179,6 +181,7 @@ def test_latent_cache_matches_pixel_path(tmp_path):
         assert m_px[k] == m_id[k], k
 
 
+@pytest.mark.slow
 def test_mesh_sharded_eval_matches_unsharded(tmp_path):
     """evaluate_rec with a dp mesh (SPMD batched decode, row padding for
     shard divisibility) must produce the same metrics as the unsharded

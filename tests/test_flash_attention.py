@@ -157,6 +157,7 @@ def test_media_gradients_match_ref():
         np.testing.assert_allclose(a, b_, atol=3e-4, rtol=3e-4)
 
 
+@pytest.mark.slow
 def test_alibi_matches_ref():
     from unimp_tpu.ops.attention_ref import alibi_slopes
 

@@ -29,6 +29,8 @@ import pytest
 from unimp_tpu.parallel import make_mesh
 from unimp_tpu.parallel.sharding import batch_sharding, param_sharding
 
+pytestmark = pytest.mark.slow  # e2e/training/subprocess: excluded from the quick lane
+
 
 def _debug_model(vocab=1024):
     import dataclasses

@@ -1,5 +1,6 @@
 """Model forward-pass tests: shapes, gating, cache-consistency."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -26,6 +27,7 @@ def _setup(batch=2, n_media=3, seq=48, seed=0):
     return cfg, model, params, vision_x, ids, q_media
 
 
+@pytest.mark.slow
 def test_forward_shapes_and_gating():
     cfg, model, params, vision_x, ids, q_media = _setup()
     logits, _ = model.apply(
@@ -55,6 +57,7 @@ def test_media_content_changes_logits_after_gate_opens():
     assert float(jnp.max(jnp.abs(l1 - l2))) > 1e-4
 
 
+@pytest.mark.slow
 def test_split_cache_decode_matches_full_forward():
     """Prefill on the first s-4 tokens, decode the rest one at a time via
     the split prompt/gen cache; logits must match the full forward."""
@@ -113,6 +116,7 @@ def test_variant_configs_construct():
         assert cfg.lm.head_dim * cfg.lm.num_heads == cfg.lm.hidden_size
 
 
+@pytest.mark.slow
 def test_config_from_json(tmp_path):
     """Otter/Flamingo config.json -> UniMPConfig (recommender.py:421-422,
     pipeline/train/config.json field names)."""

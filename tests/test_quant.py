@@ -12,6 +12,8 @@ from unimp_tpu.utils.quant import (
     quantized_bytes,
 )
 
+pytestmark = pytest.mark.slow  # e2e/training/subprocess: excluded from the quick lane
+
 
 def test_dequant_error_bound():
     rng = np.random.default_rng(0)

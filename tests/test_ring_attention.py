@@ -9,6 +9,8 @@ from unimp_tpu.ops.attention_ref import AttnMask, attention_xla
 from unimp_tpu.ops.ring_attention import ring_attention_sharded
 from unimp_tpu.parallel import make_mesh
 
+pytestmark = pytest.mark.slow  # e2e/training/subprocess: excluded from the quick lane
+
 
 @pytest.mark.parametrize("causal", [False, True])
 def test_ring_matches_full(causal):

@@ -13,6 +13,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e/training/subprocess: excluded from the quick lane
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -14,6 +14,8 @@ from unimp_tpu.tools import synth_data
 from unimp_tpu.train.optimizer import decay_mask, make_optimizer, make_schedule
 from unimp_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow  # e2e/training/subprocess: excluded from the quick lane
+
 
 @pytest.fixture(scope="module")
 def setup(tmp_path_factory):
