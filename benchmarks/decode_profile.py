@@ -54,7 +54,7 @@ def log(msg):
 INNER = int(os.environ.get("BENCH_INNER", "8"))
 
 _ALL_STAGES = ("floor", "gemv", "loop", "beam", "attn", "xattn",
-               "lm_head", "layer", "step_full")
+               "lm_head", "layer", "step_full", "prefill")
 _SEL = [s for s in os.environ.get("PROFILE_STAGES", "")
         .replace(",", " ").split() if s]
 
@@ -321,8 +321,9 @@ def main():
         # ---------------- live decode state ----------------
         bk = batch * beams
         need_state = any(want(s) for s in
-                         ("attn", "xattn", "layer", "step_full"))
+                         ("attn", "xattn", "layer", "step_full", "prefill"))
         state = caches = anc = tok_in = pos1 = None
+        prefill_s = None
         step_idx = jnp.int32(10)  # mid-decode: caches half full
         prompt_kv_bytes = xattn_kv_bytes = gen_kv_bytes = 0
         from unimp_tpu.decode.sampler import left_align
@@ -350,6 +351,20 @@ def main():
             last_logits, kv = prefill(params, ids_l, start, positions,
                                       latents, q_media)
             np.asarray(last_logits)
+            # time the prefill program: generate() = prefill + max_new
+            # steps, so loop_step must subtract this to attribute the
+            # per-step cost (loop_total/max_new overstates it otherwise)
+            if want("prefill"):
+                times = []
+                for _ in range(4):
+                    t0 = time.perf_counter()
+                    ll, _kv = prefill(params, ids_l, start, positions,
+                                      latents, q_media)
+                    np.asarray(ll)
+                    times.append(time.perf_counter() - t0)
+                prefill_s = max(
+                    float(np.median(times)) - dispatch_s, 0.0)
+                log(f"[profile] prefill {prefill_s*1e3:.1f} ms")
             state = {
                 "self": kv["self"], "xattn": kv.get("xattn", []),
                 "kv_start": start, "n_media": n_media,
@@ -598,6 +613,10 @@ def main():
             ms(layer_s * cfg.lm.num_layers) if layer_s is not None else None),
         "beam_math_ms": ms(beam_s),
         "loop_step_ms": ms(loop_step_s),
+        "prefill_ms": ms(prefill_s),
+        "loop_step_net_ms": (
+            round((loop_s - prefill_s) / max_new * 1e3, 2)
+            if (loop_s and prefill_s is not None) else None),
         "loop_total_s": round(loop_s, 2) if loop_s else None,
         "loop_eff_gbps": (round(step_bytes / loop_step_s / 1e9, 1)
                           if loop_step_s else None),
