@@ -61,6 +61,7 @@ def tiny_model(tmp_path_factory):
     return d, tok, cfg, model, params
 
 
+@pytest.mark.slow
 def test_caption_vqa_classification_loops(tiny_model, tmp_path):
     from unimp_tpu.evals.benchmark_harness import (
         evaluate_captioning,
@@ -136,6 +137,7 @@ def test_instruct_dataset(tiny_model, tmp_path):
     assert rows0[0] == ["0", "col0"] and rows1[0] == ["1", "col1"]
 
 
+@pytest.mark.slow
 def test_evaluate_cli_smoke(tiny_model, tmp_path):
     """Argparse harness entry (reference evaluate.py:168): checkpoint +
     tokenizer on disk -> all three benchmark switches -> results JSON."""
@@ -197,3 +199,184 @@ def test_evaluate_cli_smoke(tiny_model, tmp_path):
     assert "imagenet_top1" in results
     on_disk = json.load(open(results_file))
     assert on_disk == results
+
+
+# ---------------------------------------------------------------------------
+# Per-source MIMIC-IT processor goldens. The _oracle_* functions are literal
+# ports of the reference's text-rendering loops
+# (/root/reference/UniMP/pipeline/mm_utils/unify_dataset.py:125-443), kept
+# ONLY as test oracles; images are tracked as ids instead of decoded tensors.
+# ---------------------------------------------------------------------------
+
+import random as _random
+import re as _re
+
+
+def _oracle_pre_question(question, max_ques_words):
+    question = (
+        question.lower().lstrip(",.!?*#:;~").replace("-", " ").replace("/", " ")
+    )
+    question = _re.sub(r"\s{2,}", " ", question)
+    question = question.rstrip("\n")
+    question = question.strip(" ")
+    question_words = question.split(" ")
+    if len(question_words) > max_ques_words:
+        question = " ".join(question_words[:max_ques_words])
+    return question
+
+
+def _oracle_pre_answer(answer, max_ans_words):
+    answer = _re.sub(r"\s{2,}", " ", answer)
+    answer = answer.rstrip("\n")
+    answer = answer.strip(" ")
+    return_answer = ""
+    answers = answer.split(".")
+    for _ in answers:
+        if return_answer == "":
+            cur_answer = _
+        else:
+            cur_answer = ".".join([return_answer, _])
+        if len(cur_answer.split(" ")) <= max_ans_words:
+            return_answer = cur_answer
+        else:
+            break
+    if return_answer == "":
+        answer_words = answer.split(" ")
+        return_answer = " ".join(answer_words[:max_ans_words])
+    else:
+        if return_answer[-1] != "." and return_answer != answers:
+            return_answer += "."
+    return return_answer
+
+
+def _oracle_llava(dataset, instruction_id, in_context_example_ids, rng):
+    # unify_dataset.py:205-237 (text + image-id chain)
+    all_texts = ""
+    image_ids = []
+    all_instruction_ids = in_context_example_ids + [instruction_id]
+    rng.shuffle(all_instruction_ids)
+    for cur_id in all_instruction_ids[:]:
+        image_ids.append([dataset[cur_id]["image_ids"][0]])
+        q = _oracle_pre_question(dataset[cur_id]["instruction"], 256)
+        a = _oracle_pre_answer(dataset[cur_id]["answer"], 256)
+        all_texts += f"<image>User: {q} GPT:<answer> {a}<|endofchunk|>"
+    return all_texts, image_ids
+
+
+def _oracle_shuffled_single_image(dataset, instruction_id, image_ids_in,
+                                  in_context_example_ids, rng):
+    # unify_dataset.py:239-301,365-395 (DC / E4D / FunQA share this loop)
+    all_texts = ""
+    all_instruction_ids = in_context_example_ids + [instruction_id]
+    rng.shuffle(all_instruction_ids)
+    for cur_id in all_instruction_ids[:]:
+        q = _oracle_pre_question(dataset[cur_id]["instruction"], 256)
+        a = _oracle_pre_answer(dataset[cur_id]["answer"], 256)
+        all_texts += f"User: {q} GPT:<answer> {a}<|endofchunk|>"
+    all_texts = f"<image>{all_texts}"
+    return all_texts, [list(image_ids_in)]
+
+
+def _oracle_spot_the_difference(dataset, instruction_id, image_ids_in):
+    # unify_dataset.py:303-327
+    q = _oracle_pre_question(dataset[instruction_id]["instruction"], 256)
+    a = _oracle_pre_answer(dataset[instruction_id]["answer"], 256)
+    query_text = f"<image>User: {q} GPT:<answer> {a}<|endofchunk|>"
+    return query_text, [list(image_ids_in)]
+
+
+def _oracle_scene_navigation(dataset, instruction_id, image_ids_in,
+                             in_context_example_ids):
+    # unify_dataset.py:329-363 — the reference's last line reads an unbound
+    # `all_texts` (a crash upstream); the oracle renders the evident intent.
+    incontext_text = ""
+    for cur_id in in_context_example_ids:
+        q = _oracle_pre_question(dataset[cur_id]["instruction"], 256)
+        a = _oracle_pre_answer(dataset[cur_id]["answer"], 256)
+        incontext_text += f"User: {q} GPT:<answer> {a}<|endofchunk|>"
+    incontext_text = f"<image>{incontext_text}"
+    q = _oracle_pre_question(dataset[instruction_id]["instruction"], 256)
+    a = _oracle_pre_answer(dataset[instruction_id]["answer"], 256)
+    query_text = f"User: {q} GPT:<answer> {a}<|endofchunk|>"
+    return f"{incontext_text}{query_text}", [list(image_ids_in)]
+
+
+_STORE = {
+    "LA_1": {"instruction": "What-COLOR/is it?", "answer": "Deep blue. Like the sea",
+             "image_ids": ["imgA", "imgX"]},
+    "LA_2": {"instruction": ",.!?*#:;~Odd   spacing\n", "answer": "   two  spaces.  ",
+             "image_ids": ["imgB"]},
+    "LA_3": {"instruction": "plain", "answer": "word " * 300,
+             "image_ids": ["imgC"]},
+    "DC_1": {"instruction": "Describe densely", "answer": "A. B. C",
+             "image_ids": ["d1", "d2"]},
+    "E4D_1": {"instruction": "events?", "answer": "many",
+              "image_ids": ["e1"]},
+    "SD_9": {"instruction": "spot the difference", "answer": "left lamp",
+             "image_ids": ["s1", "s2"]},
+    "SN_4": {"instruction": "navigate", "answer": "go left",
+             "image_ids": ["n1"]},
+    "FunQA_7": {"instruction": "why funny", "answer": "slapstick",
+                "image_ids": ["f1", "f2", "f3"]},
+}
+
+
+def test_pre_question_pre_answer_golden():
+    from unimp_tpu.data.instruct_dataset import pre_answer, pre_question
+
+    cases_q = ["What-COLOR/is it?", ",.!?*#:;~Odd   spacing\n",
+               "a b c d e f g", "  leading and   trailing  "]
+    for q in cases_q:
+        for mw in (3, 256):
+            assert pre_question(q, mw) == _oracle_pre_question(q, mw)
+    cases_a = ["Deep blue. Like the sea", "A. B. C", "   two  spaces.  ",
+               "word " * 300, "one two three four five. six seven",
+               "nodots at all", ""]
+    for a in cases_a:
+        for mw in (4, 256):
+            assert pre_answer(a, mw) == _oracle_pre_answer(a, mw)
+
+
+def test_per_source_processors_golden():
+    from unimp_tpu.data.instruct_dataset import render_mimicit_sample
+
+    ctx = {"LA_1": ["LA_2", "LA_3"], "DC_1": ["LA_1", "SD_9"],
+           "E4D_1": ["DC_1"], "SD_9": ["LA_1"], "SN_4": ["LA_1", "DC_1"],
+           "FunQA_7": ["SN_4", "E4D_1"]}
+    for seed in (0, 3):
+        for sid, rel in ctx.items():
+            got = render_mimicit_sample(_STORE, sid, rel,
+                                        _random.Random(seed))
+            r = _random.Random(seed)
+            if sid.startswith("LA"):
+                want_text, want_imgs = _oracle_llava(_STORE, sid, list(rel), r)
+            elif sid.startswith(("DC", "E4D", "FunQA")):
+                want_text, want_imgs = _oracle_shuffled_single_image(
+                    _STORE, sid, _STORE[sid]["image_ids"], list(rel), r)
+            elif sid.startswith("SD"):
+                want_text, want_imgs = _oracle_spot_the_difference(
+                    _STORE, sid, _STORE[sid]["image_ids"])
+            else:
+                want_text, want_imgs = _oracle_scene_navigation(
+                    _STORE, sid, _STORE[sid]["image_ids"], list(rel))
+            assert got.text == want_text, sid
+            assert got.image_groups == want_imgs, sid
+    assert render_mimicit_sample(_STORE, "ZZ_0", [], _random.Random(0)) is None
+
+
+def test_per_source_formats_distinct():
+    from unimp_tpu.data.instruct_dataset import render_mimicit_sample
+
+    la = render_mimicit_sample(_STORE, "LA_1", ["LA_2"], _random.Random(1))
+    assert la.text.count("<image>") == 2 and len(la.image_groups) == 2
+    dc = render_mimicit_sample(_STORE, "DC_1", ["LA_1"], _random.Random(1))
+    assert dc.text.startswith("<image>") and dc.text.count("<image>") == 1
+    assert dc.image_groups == [["d1", "d2"]]  # only the query's images
+    sd = render_mimicit_sample(_STORE, "SD_9", ["LA_1"], _random.Random(1))
+    assert "navigate" not in sd.text and sd.text.count("User:") == 1
+    # SN keeps in-context order (no shuffle) and puts the query last
+    sn = render_mimicit_sample(_STORE, "SN_4", ["LA_1", "DC_1"],
+                               _random.Random(1))
+    body = sn.text
+    assert body.index("what color") < body.index("describe densely") < \
+        body.index("navigate")

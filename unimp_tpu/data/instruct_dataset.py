@@ -17,13 +17,197 @@ the capability.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
-from typing import Dict, List, Optional
+import random
+import re
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
 from unimp_tpu.data.transforms import load_resized_uint8
+
+# ---------------------------------------------------------------------------
+# Text normalization (reference parity: unify_dataset.py:125-175).
+# ---------------------------------------------------------------------------
+
+_MULTISPACE = re.compile(r"\s{2,}")
+
+
+def pre_question(question: str, max_words: int) -> str:
+    """Normalize an instruction string (unify_dataset.py:125-143): lowercase,
+    strip leading punctuation, '-' and '/' become spaces, collapse runs of
+    whitespace, then truncate to max_words space-separated words."""
+    question = (
+        question.lower().lstrip(",.!?*#:;~").replace("-", " ").replace("/", " ")
+    )
+    question = _MULTISPACE.sub(" ", question)
+    question = question.rstrip("\n").strip(" ")
+    words = question.split(" ")
+    if len(words) > max_words:
+        question = " ".join(words[:max_words])
+    return question
+
+
+def pre_answer(answer: str, max_words: int) -> str:
+    """Normalize an answer string (unify_dataset.py:145-174): collapse
+    whitespace, then greedily keep whole '.'-separated sentences while the
+    running text stays within max_words; fall back to a hard word cut when
+    even the first sentence is too long.
+
+    Reference quirk kept on purpose: the terminal '.' is re-appended whenever
+    the kept text doesn't end in one — the guard `return_answer != answers`
+    at unify_dataset.py:170 compares a str to a list, so it is always true.
+    """
+    answer = _MULTISPACE.sub(" ", answer)
+    answer = answer.rstrip("\n").strip(" ")
+    return_answer = ""
+    sentences = answer.split(".")
+    for sentence in sentences:
+        cur = sentence if not return_answer else ".".join([return_answer, sentence])
+        if len(cur.split(" ")) <= max_words:
+            return_answer = cur
+        else:
+            break
+    if return_answer == "":
+        return_answer = " ".join(answer.split(" ")[:max_words])
+    elif return_answer[-1] != ".":
+        return_answer += "."
+    return return_answer
+
+
+# ---------------------------------------------------------------------------
+# Per-source MIMIC-IT processors (reference parity: the process_* family at
+# unify_dataset.py:205-443). Reworked as pure functions: the sample store and
+# RNG are injected, and instead of eagerly decoding base64 images they return
+# the image ids plus the chunk layout, so the host pipeline can batch-decode
+# via the native imagepipe. Each source renders a distinct in-context chain:
+#
+#   LA    one <image> per chain item, chain shuffled        (.py:205-237)
+#   DC    single leading <image>, chain shuffled,
+#         only the query sample's images                    (.py:239-269)
+#   E4D   same format as DC                                 (.py:271-301)
+#   SD    no in-context; "<image>User: ..." query only      (.py:303-327)
+#   SN    in-context rendered WITHOUT shuffling, single
+#         leading <image>, query appended last              (.py:329-363)
+#   FunQA same format as DC                                 (.py:365-395)
+#
+# Reference bug, not reproduced: process_scene_navigation's final line reads
+# `all_texts` before assignment (unify_dataset.py:362) and raises
+# UnboundLocalError upstream; we render the evident intent
+# (incontext_text + query_text).
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass
+class RenderedInstruction:
+    """One rendered training chain.
+
+    image_ids are grouped per <image> chunk: LA yields one singleton group
+    per chain item ([N, 1] layout, reference patch_images [N, 1, C, H, W]);
+    every other source yields a single group of the query's images
+    ([1, N] layout, reference patch_images [1, N, C, H, W]).
+    """
+
+    text: str
+    image_groups: List[List[str]]
+
+
+def _chain_text(store: Dict[str, dict], order: Sequence[str],
+                max_src: int, max_tgt: int, with_image: bool) -> str:
+    parts = []
+    prefix = "<image>" if with_image else ""
+    for sid in order:
+        rec = store[sid]
+        q = pre_question(rec["instruction"], max_src)
+        a = pre_answer(rec["answer"], max_tgt)
+        parts.append(f"{prefix}User: {q} GPT:<answer> {a}<|endofchunk|>")
+    return "".join(parts)
+
+
+def process_llava(store, sample_id, in_context_ids, rng,
+                  max_src=256, max_tgt=256) -> RenderedInstruction:
+    order = list(in_context_ids) + [sample_id]
+    rng.shuffle(order)
+    text = _chain_text(store, order, max_src, max_tgt, with_image=True)
+    groups = [[store[sid]["image_ids"][0]] for sid in order]
+    return RenderedInstruction(text=text, image_groups=groups)
+
+
+def _shuffled_single_image(store, sample_id, in_context_ids, rng,
+                           max_src, max_tgt) -> RenderedInstruction:
+    order = list(in_context_ids) + [sample_id]
+    rng.shuffle(order)
+    text = "<image>" + _chain_text(store, order, max_src, max_tgt,
+                                   with_image=False)
+    return RenderedInstruction(
+        text=text, image_groups=[list(store[sample_id]["image_ids"])]
+    )
+
+
+def process_dense_caption(store, sample_id, in_context_ids, rng,
+                          max_src=256, max_tgt=256) -> RenderedInstruction:
+    return _shuffled_single_image(store, sample_id, in_context_ids, rng,
+                                  max_src, max_tgt)
+
+
+def process_e4d(store, sample_id, in_context_ids, rng,
+                max_src=256, max_tgt=256) -> RenderedInstruction:
+    return _shuffled_single_image(store, sample_id, in_context_ids, rng,
+                                  max_src, max_tgt)
+
+
+def process_funqa(store, sample_id, in_context_ids, rng,
+                  max_src=256, max_tgt=256) -> RenderedInstruction:
+    return _shuffled_single_image(store, sample_id, in_context_ids, rng,
+                                  max_src, max_tgt)
+
+
+def process_spot_the_difference(store, sample_id, in_context_ids, rng,
+                                max_src=256, max_tgt=256) -> RenderedInstruction:
+    text = _chain_text(store, [sample_id], max_src, max_tgt, with_image=True)
+    return RenderedInstruction(
+        text=text, image_groups=[list(store[sample_id]["image_ids"])]
+    )
+
+
+def process_scene_navigation(store, sample_id, in_context_ids, rng,
+                             max_src=256, max_tgt=256) -> RenderedInstruction:
+    incontext = _chain_text(store, in_context_ids, max_src, max_tgt,
+                            with_image=False)
+    query = _chain_text(store, [sample_id], max_src, max_tgt, with_image=False)
+    return RenderedInstruction(
+        text=f"<image>{incontext}{query}",
+        image_groups=[list(store[sample_id]["image_ids"])],
+    )
+
+
+_SOURCE_PROCESSORS: List[tuple] = [
+    # Prefix dispatch order matters: process_image_text_pair checks
+    # LA / DC / E4D / SD / SN / FunQA in this order (unify_dataset.py:418-443).
+    ("LA", process_llava),
+    ("DC", process_dense_caption),
+    ("E4D", process_e4d),
+    ("SD", process_spot_the_difference),
+    ("SN", process_scene_navigation),
+    ("FunQA", process_funqa),
+]
+
+
+def render_mimicit_sample(store: Dict[str, dict], sample_id: str,
+                          in_context_ids: Sequence[str], rng: random.Random,
+                          max_src: int = 256, max_tgt: int = 256,
+                          ) -> Optional[RenderedInstruction]:
+    """Dispatch a MIMIC-IT sample to its per-source processor by id prefix
+    (unify_dataset.py:418-443; max_src/max_tgt fixed at 256 there).
+    Returns None for unknown prefixes so callers can fall back to the
+    generic renderer."""
+    for prefix, fn in _SOURCE_PROCESSORS:
+        if sample_id.startswith(prefix):
+            return fn(store, sample_id, in_context_ids, rng,
+                      max_src=max_src, max_tgt=max_tgt)
+    return None
 
 
 class MultiInstructDataset:
@@ -49,6 +233,7 @@ class MultiInstructDataset:
         self.max_incontext = max_incontext
         self.image_size = image_size
         self.rng = np.random.default_rng(seed)
+        self.chain_rng = random.Random(seed)
 
     def __len__(self):
         return len(self.keys)
@@ -60,15 +245,18 @@ class MultiInstructDataset:
         )
 
     def __getitem__(self, index: int) -> dict:
-        rec = self.data[self.keys[index]]
-        chain = []
-        rel = rec.get("rel_ins_ids", [])[: self.max_incontext]
-        for rid in rel:
-            if rid in self.data:
-                chain.append(self.data[rid])
-        chain.append(rec)
-        text = "".join(self._render(r) for r in chain).rstrip()
-        image_ids = [i for r in chain for i in r.get("image_ids", [])]
+        key = self.keys[index]
+        rec = self.data[key]
+        rel = [r for r in rec.get("rel_ins_ids", [])[: self.max_incontext]
+               if r in self.data]
+        rendered = render_mimicit_sample(self.data, key, rel, self.chain_rng)
+        if rendered is not None:
+            text = rendered.text
+            image_ids = [i for grp in rendered.image_groups for i in grp]
+        else:
+            chain = [self.data[rid] for rid in rel] + [rec]
+            text = "".join(self._render(r) for r in chain).rstrip()
+            image_ids = [i for r in chain for i in r.get("image_ids", [])]
         images = np.stack([
             load_resized_uint8(
                 os.path.join(self.image_dir, f"{i}.jpg"), self.image_size
