@@ -300,3 +300,91 @@ def test_img_gen_decode_closure(tmp_path):
     from PIL import Image
 
     assert Image.open(paths[0]).size == (224, 224)
+
+
+def test_llava_train_index(tmp_path):
+    """get_llava_train_data.py semantics (pipeline/utils/
+    get_llava_train_data.py:6-71): CONV keeps final rounds only, drops
+    zero-context samples, pads by repetition, takes the LAST n; non-CONV
+    keeps every id, takes the FIRST n."""
+    import json
+
+    from unimp_tpu.tools.misc_converters import llava_train_index
+
+    data = {
+        # conversation 7: three rounds
+        "LACONV_00_INS_7_0": {"rel_ins_ids": []},
+        "LACONV_00_INS_7_1": {"rel_ins_ids": ["LACONV_00_INS_7_0"]},
+        "LACONV_00_INS_7_2": {"rel_ins_ids": ["LACONV_00_INS_7_0",
+                                              "LACONV_00_INS_7_1"]},
+        # conversation 8: single round, empty context -> dropped
+        "LACONV_00_INS_8_0": {"rel_ins_ids": []},
+        # single-round family: first-n + repetition padding
+        "LACR_I2I_00_INS_a": {"rel_ins_ids": ["x", "y", "z"]},
+        "LACR_I2I_00_INS_b": {"rel_ins_ids": ["w"]},
+        "LACR_I2I_00_INS_c": {"rel_ins_ids": []},
+    }
+    src = tmp_path / "ins.json"
+    src.write_text(json.dumps({"data": data}))
+    out = tmp_path / "train.json"
+    idx = llava_train_index(str(src), str(out), rel_ins_ids_num=2)
+    assert idx["LACONV_00_INS_7_2"] == ["LACONV_00_INS_7_0",
+                                        "LACONV_00_INS_7_1"]
+    assert "LACONV_00_INS_8_0" not in idx       # zero-context CONV dropped
+    assert "LACONV_00_INS_7_1" not in idx       # non-final round dropped
+    assert idx["LACR_I2I_00_INS_a"] == ["x", "y"]   # FIRST n
+    assert idx["LACR_I2I_00_INS_b"] == ["w", "w"]   # repetition padding
+    assert idx["LACR_I2I_00_INS_c"] == []           # kept with []
+    assert json.loads(out.read_text()) == idx
+
+
+def test_llava_instructions_from_conversations(tmp_path):
+    import json
+
+    from unimp_tpu.tools.misc_converters import (
+        collect_image_index,
+        llava_instructions_from_conversations,
+    )
+
+    rows = [
+        {"id": "33471", "conversations": [
+            {"from": "human", "value": "<image>\nwhat is it"},
+            {"from": "gpt", "value": "a cat"},
+            {"from": "human", "value": "what color"},
+            {"from": "gpt", "value": "black"},
+        ]},
+    ]
+    src = tmp_path / "conversation_58k.json"
+    src.write_text(json.dumps(rows))
+
+    out = tmp_path / "LACONV_instructions.json"
+    res = llava_instructions_from_conversations(str(src), str(out),
+                                                mode="conv")
+    d = res["data"]
+    assert set(d) == {"LACONV_00_INS_33471_0", "LACONV_00_INS_33471_1"}
+    r1 = d["LACONV_00_INS_33471_1"]
+    assert r1["instruction"] == "what color"
+    assert r1["rel_ins_ids"] == ["LACONV_00_INS_33471_0"]
+    assert r1["image_ids"] == ["LA_00_IMG_33471"]
+    assert "<image>" not in d["LACONV_00_INS_33471_0"]["instruction"]
+    assert res["meta"]["author"] == "ntu"
+
+    out2 = tmp_path / "LACR_instructions.json"
+    res2 = llava_instructions_from_conversations(
+        str(src), str(out2), mode="single",
+        similarity={"33471": ["99", "98"]})
+    d2 = res2["data"]
+    assert set(d2) == {"LACR_I2I_00_INS_33471"}
+    assert d2["LACR_I2I_00_INS_33471"]["rel_ins_ids"] == [
+        "LACR_I2I_00_INS_99", "LACR_I2I_00_INS_98"]
+
+    # image index from 8-col TSVs with dedup + round-suffix strip
+    tsv = tmp_path / "conv.tsv"
+    tsv.write_text("33471_2\timg/a.jpg\tc\tq\tr\tg\tds\tt\n"
+                   "33471_3\timg/a.jpg\tc\tq\tr\tg\tds\tt\n"
+                   "555\timg/b.jpg\tc\tq\tr\tg\tds\tt\n")
+    outi = tmp_path / "images.json"
+    imgs = collect_image_index([str(tsv)], str(outi),
+                               strip_round_suffix=True)
+    assert imgs == {"33471": {"id": "33471", "image": "img/a.jpg"},
+                    "555": {"id": "555", "image": "img/b.jpg"}}
