@@ -54,7 +54,7 @@ def log(msg):
 INNER = int(os.environ.get("BENCH_INNER", "8"))
 
 _ALL_STAGES = ("floor", "gemv", "loop", "beam", "attn", "xattn",
-               "lm_head", "layer", "step_full", "prefill")
+               "lm_head", "layer", "step_full", "step1", "prefill")
 _SEL = [s for s in os.environ.get("PROFILE_STAGES", "")
         .replace(",", " ").split() if s]
 
@@ -321,7 +321,7 @@ def main():
         # ---------------- live decode state ----------------
         bk = batch * beams
         need_state = any(want(s) for s in
-                         ("attn", "xattn", "layer", "step_full", "prefill"))
+                         ("attn", "xattn", "layer", "step_full", "step1", "prefill"))
         state = caches = anc = tok_in = pos1 = None
         prefill_s = None
         step_idx = jnp.int32(10)  # mid-decode: caches half full
@@ -411,7 +411,7 @@ def main():
         # the attention probes never touch the params: free the 8 GB so
         # the standalone pallas probe (whose cache inputs may need a
         # layout-change copy at the program boundary) fits a 16 GB chip
-        if not any(want(s) for s in ("lm_head", "layer", "step_full")):
+        if not any(want(s) for s in ("lm_head", "layer", "step_full", "step1")):
             del params
             params = None
 
@@ -568,6 +568,28 @@ def main():
                 0, INNER, body, (jnp.float32(0.0), caches)
             )
 
+        # single-call model step: no fori amortization — at ~30 ms of
+        # device work the ~±2 ms dispatch noise is tolerable, and the
+        # much smaller program survives the tunnel's compile timeout
+        # (the amortized step_full died twice at ~25 min of compile)
+        step1_s = None
+        if want("step1"):
+            def one_step(p, tokens, caches, anc, pos):
+                ds = dict(state, gen=caches, step=step_idx, gen_index=anc)
+                logits, gen = model.apply(
+                    {"params": p}, tokens, positions=pos, decode_state=ds
+                )
+                return jnp.sum(logits.astype(jnp.float32))
+
+            step1 = jax.jit(one_step)
+            log("[profile] step1 (single-call model step) ...")
+            step1_s = attempt("step1", lambda: timed(
+                step1, params, tok_in, caches, anc, pos1, reps=12,
+                sync=lambda o: float(o)))
+            if step1_s is not None:
+                step1_s = max(step1_s - dispatch_s, 0.0)
+                log(f"[profile] step1 {step1_s*1e3:.2f} ms (single call)")
+
         step_full_s = None
         if want("step_full"):
             step_full = jax.jit(run_step)
@@ -605,6 +627,7 @@ def main():
         "dispatch_ms": round(dispatch_s * 1e3, 2),
         "inner": INNER,
         "step_full_ms": ms(step_full_s),
+        "step1_ms": ms(step1_s),
         "lm_head_ms": ms(lm_head_s),
         "attn_only_ms": ms(attn_s),
         "xattn_only_ms": ms(xattn_s),

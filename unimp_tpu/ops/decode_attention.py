@@ -282,10 +282,22 @@ def decode_attention(
 
     # ---- generated segment
     if gen_chunk is None:
-        # auto: chunked reads pay off once the cache is wider than ~2
-        # chunks (below that the loop overhead buys nothing)
-        gen_chunk = int(os.environ.get("UNIMP_DECODE_GEN_CHUNK", "16"))
-        if g < 2 * gen_chunk:
+        # auto: FULL-WIDTH read for ordinary gen widths. Inside the real
+        # decode while_loop `step` is traced, so the chunked walk's trip
+        # count is dynamic — a nested while_loop per layer per step whose
+        # scalar-sync overhead measured ~20 ms/step at 4b high fill
+        # (loop25 vs loop50 A/B: 20.5 -> 41.2 ms/step net while
+        # attention's true fill slope is ~0.18 ms/fill; with full-width
+        # reads the step is fill-flat). The bytes the chunked walk saves
+        # only beat that overhead for wide caches, so chunk only when
+        # G is large. UNIMP_DECODE_GEN_CHUNK=<n> forces chunk n; =0
+        # forces full-width.
+        env = os.environ.get("UNIMP_DECODE_GEN_CHUNK")
+        if env is not None:
+            gen_chunk = int(env)
+        else:
+            gen_chunk = 16 if g > 128 else 0
+        if gen_chunk and g < 2 * gen_chunk:
             gen_chunk = 0
     if gen_chunk:
         gen_chunk = min(gen_chunk, g)

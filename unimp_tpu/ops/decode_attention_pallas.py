@@ -219,9 +219,13 @@ def _kernel(
         for li in range(hb):
             ckv = (li * hkv) // h
             q = q_ref[0, li]
-            gk2 = gk_ref[0, :, ckv].reshape(kb * cg, -1)  # [P*CG, D]
+            # dequant-cast BEFORE the rank-collapsing reshape: Mosaic
+            # supports the [P, CG, D] -> [P*CG, D] shape cast for bf16
+            # vectors but not for packed int8 ones ("infer-vector-layout:
+            # unsupported shape cast" at the 4b shapes, round-4 log)
+            gk2 = gk_ref[0, :, ckv].astype(q.dtype).reshape(kb * cg, -1)
             logits = jax.lax.dot_general(
-                q, gk2.astype(q.dtype), (((1,), (1,)), ((), ())),
+                q, gk2, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ) * scale  # [K, P*CG]
             if quantized:
@@ -231,7 +235,8 @@ def _kernel(
                     jnp.float32) - q_abs)
             logits = jnp.where(mask, logits, NEG_INF)
             _online_update(
-                li, logits, mask, gv_ref[0, :, ckv].reshape(kb * cg, -1),
+                li, logits, mask,
+                gv_ref[0, :, ckv].astype(q.dtype).reshape(kb * cg, -1),
                 gvs_ref[0, ckv, 0] if quantized else None,
                 m_ref, l_ref, oacc_ref, q.dtype,
             )
