@@ -356,6 +356,42 @@ def test_chunked_gen_segment_inside_jit_traced_step():
         )
 
 
+def test_gen_chunk_auto_prefers_full_width(monkeypatch):
+    """gen_chunk=None auto dispatch: full-width reads for ordinary gen
+    widths (the chunked walk's dynamic trip count costs ~20 ms/step in
+    scalar sync at 4b shapes, measured round 4), chunked only for wide
+    caches (G > 128); UNIMP_DECODE_GEN_CHUNK overrides both ways."""
+    import unimp_tpu.ops.decode_attention as da
+
+    calls = []
+    real = da._chunked_gen_segment
+
+    def spy(*args, **kwargs):
+        calls.append(args[-1])  # chunk size is the last positional arg
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(da, "_chunked_gen_segment", spy)
+
+    def run(g, env=None):
+        if env is None:
+            monkeypatch.delenv("UNIMP_DECODE_GEN_CHUNK", raising=False)
+        else:
+            monkeypatch.setenv("UNIMP_DECODE_GEN_CHUNK", env)
+        b, k_beams, t, h, d = 1, 2, 8, 2, 8
+        q, pk, pv, gk, gv, kv_start, sel, _ = _rand_decode_case(
+            jax.random.PRNGKey(0), b, k_beams, t, g, h, d
+        )
+        calls.clear()
+        da.decode_attention(q, pk, pv, gk, gv, step=jnp.int32(2),
+                            kv_start=kv_start, beam_sel=sel, impl="xla")
+        return list(calls)
+
+    assert run(50) == []            # ordinary width -> full-width read
+    assert run(160) == [16]         # wide cache -> chunked walk
+    assert run(160, env="0") == []  # env forces full-width
+    assert run(50, env="8") == [8]  # env forces chunking
+
+
 # ------------------------------------------------------- fused pallas kernel
 
 
