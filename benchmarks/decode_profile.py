@@ -131,6 +131,17 @@ def main():
         cfg = cfg.replace(
             lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 128)
         )
+        # layer-scaling mode: shrink the REAL model to L layers so the
+        # amortized step compiles through the tunnel (the 32-layer
+        # step_full/step1 compiles die on remote_compile broken pipes).
+        # Two runs (e.g. L=8, 16) give slope (true per-layer in-situ
+        # cost) + intercept (fixed per-step overhead) — the attribution
+        # the monolithic step can't deliver.
+        nl = os.environ.get("PROFILE_NUM_LAYERS")
+        if nl:
+            cfg = cfg.replace(
+                lm=dataclasses.replace(cfg.lm, num_layers=int(nl))
+            )
         model = UniMPModel(cfg)
         ds = TaskDataset(d, "beauty", "rec", "test", tok, n_items=256,
                          history_len=5, image_size=cfg.vision.image_size)

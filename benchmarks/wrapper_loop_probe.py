@@ -73,7 +73,7 @@ def main():
                                    quantized=quantized)
                     for _ in range(layers)]
 
-    write_kv = {"on": True}
+    mode = {"write": True, "read": False}
 
     class StubSearcher(Generator):
         def _decode_step(self, params, tokens, state, gen, step, positions,
@@ -81,7 +81,7 @@ def main():
             x = emb[tokens[:, 0]]  # [BK, 128] data-dependent on the beam
             logits = jnp.dot(x, w_out,
                              preferred_element_type=jnp.float32)
-            if write_kv["on"]:
+            if mode["write"]:
                 slab = jnp.broadcast_to(
                     x[None, :, None, None, :hd].astype(jnp.bfloat16),
                     (2, tokens.shape[0], hkv, 1, hd),
@@ -91,6 +91,21 @@ def main():
                         c["kv"], slab, (0, 0, 0, step, 0))}
                     for c in gen
                 ]
+                if mode["read"]:
+                    # dual-consumer pattern of the REAL layer: the updated
+                    # cache feeds both the carry AND an attention read.
+                    # The read here is one column (~1.6 MB/layer) so any
+                    # large delta vs wrapper_writes is XLA COPYING the
+                    # carried cache to keep the in-place update safe, not
+                    # the read bytes themselves.
+                    col = sum(
+                        jnp.sum(jax.lax.dynamic_slice(
+                            c["kv"], (0, 0, 0, step, 0),
+                            (2, tokens.shape[0], hkv, 1, hd),
+                        ).astype(jnp.float32))
+                        for c in gen
+                    )
+                    logits = logits + col * 1e-20
             return logits[:, None, :], gen
 
     gc = GenerationConfig(
@@ -127,8 +142,10 @@ def main():
                    layers * 2 * bk * hkv * max_new * hd * 2 / 1e9, 2),
                "dispatch_ms": round(disp * 1e3, 2)}
 
-    for name, on in [("wrapper_writes", True), ("wrapper_only", False)]:
-        write_kv["on"] = on
+    for name, wr, rd in [("wrapper_writes_read", True, True),
+                         ("wrapper_writes", True, False),
+                         ("wrapper_only", False, False)]:
+        mode["write"], mode["read"] = wr, rd
         fn = jax.jit(lambda ll, st, sl: searcher._beam_loop(
             {}, ll, {}, st, t, sl))
         try:
