@@ -405,8 +405,8 @@ def main():
             def sweep(qq):
                 outs = []
                 for layer_kv, layer_gen in zip(state_self, caches):
-                    gk = layer_gen["kv"][0]
-                    gv = layer_gen["kv"][1]
+                    gk = layer_gen["k"]
+                    gv = layer_gen["v"]
                     outs.append(decode_attention(
                         qq, layer_kv["k"], layer_kv["v"], gk, gv,
                         step=step_idx, kv_start=start,

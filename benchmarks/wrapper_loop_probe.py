@@ -83,12 +83,14 @@ def main():
                              preferred_element_type=jnp.float32)
             if mode["write"]:
                 slab = jnp.broadcast_to(
-                    x[None, :, None, None, :hd].astype(jnp.bfloat16),
-                    (2, tokens.shape[0], hkv, 1, hd),
+                    x[:, None, None, :hd].astype(jnp.bfloat16),
+                    (tokens.shape[0], hkv, 1, hd),
                 )
                 gen = [
-                    {"kv": jax.lax.dynamic_update_slice(
-                        c["kv"], slab, (0, 0, 0, step, 0))}
+                    {"k": jax.lax.dynamic_update_slice(
+                        c["k"], slab, (0, 0, step, 0)),
+                     "v": jax.lax.dynamic_update_slice(
+                        c["v"], slab, (0, 0, step, 0))}
                     for c in gen
                 ]
                 if mode["read"]:
@@ -100,10 +102,10 @@ def main():
                     # the read bytes themselves.
                     col = sum(
                         jnp.sum(jax.lax.dynamic_slice(
-                            c["kv"], (0, 0, 0, step, 0),
-                            (2, tokens.shape[0], hkv, 1, hd),
+                            c[n], (0, 0, step, 0),
+                            (tokens.shape[0], hkv, 1, hd),
                         ).astype(jnp.float32))
-                        for c in gen
+                        for c in gen for n in ("k", "v")
                     )
                     logits = logits + col * 1e-20
             return logits[:, None, :], gen

@@ -97,8 +97,8 @@ def test_decode_state_sharding_roundtrip(quantized):
         assert o.sharding.is_equivalent_to(a.sharding, a.ndim), (
             a.sharding, o.sharding)
     # and rows really are distributed over the data axes, not replicated
-    kv0 = gen1[0]["kv"]  # [2, B, Hkv, max_new, D] heads-major, rows axis 1
-    assert kv0.sharding.shard_shape(kv0.shape)[1] == b // 4
+    kv0 = gen1[0]["k"]  # [B, Hkv, max_new, D] heads-major, rows axis 0
+    assert kv0.sharding.shard_shape(kv0.shape)[0] == b // 4
 
 
 _SPMD_SCRIPT = textwrap.dedent(

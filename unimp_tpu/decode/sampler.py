@@ -184,12 +184,12 @@ class Generator:
         )
 
     def _rows_gen(self, caches):
-        """Gen-KV caches: [2, B*, H, g] scales and [2, B*, H, g, D] kv —
-        rows live on axis 1 (K and V are stacked on axis 0)."""
+        """Gen-KV caches (split K/V — see models.lm.init_gen_cache):
+        [B*, H, g] scales and [B*, H, g, D] kv — rows on axis 0."""
         if self.mesh is None:
             return caches
         r = self._ROWS
-        spec = {4: (None, r, "tp", None), 5: (None, r, "tp", None, None)}
+        spec = {3: (r, "tp", None), 4: (r, "tp", None, None)}
         return jax.tree.map(
             lambda a: self._pin(a, spec) if hasattr(a, "ndim") else a, caches
         )

@@ -288,7 +288,7 @@ class Attention(nn.Module):
         """Returns (out [B, S, out_dim], cache_or_None).
 
         decode_state (self-attn decode): {"prompt": {"k","v"}
-        [B,Hkv,T,D], "gen": {"kv"} [2,BK,Hkv,G,D], "step": scalar tokens
+        [B,Hkv,T,D], "gen": {"k","v"} [BK,Hkv,G,D], "step": scalar tokens
         generated so far (current token excluded), "kv_start": [B]}.
         xattn_cache (cross-attn decode): {"k","v"} [B,Hkv,S,D] projected
         latents; xattn_allowed: [B, S] mask. All decode caches are
@@ -359,38 +359,46 @@ class Attention(nn.Module):
         if decode_state is not None:
             step = decode_state["step"]
             gen = decode_state["gen"]
-            cache = gen["kv"]
-            # caches are heads-major ([.., Hkv, S, D] — see init_gen_cache
-            # for why); the new token arrives [2, B*, 1, Hkv, D]
-            kv_new = jnp.stack([k, v], axis=0).transpose(0, 1, 3, 2, 4)
+            # caches are heads-major ([B*, Hkv, S, D], SPLIT K/V — see
+            # init_gen_cache: merged [2,...] forced XLA to materialize
+            # both cache halves per layer since dot_general operands
+            # can't fuse a slice); the new token arrives [B*, 1, Hkv, D]
+            k_new = k.transpose(0, 2, 1, 3)
+            v_new = v.transpose(0, 2, 1, 3)
             gen_scales = (None, None)
-            if cache.dtype == jnp.int8:
+            if gen["k"].dtype == jnp.int8:
                 # int8 gen cache: quantize the new token per (k/v, head);
                 # the raw int8 cache + scales flow into decode_attention,
                 # which dequantizes in VMEM (Pallas) or fused (XLA) — the
                 # HBM stream is the int8 bytes either way
-                amax = jnp.max(jnp.abs(kv_new.astype(jnp.float32)),
-                               axis=-1, keepdims=True)
-                kv_scale = jnp.maximum(amax, 1e-8) / 127.0
-                q8 = jnp.clip(
-                    jnp.round(kv_new.astype(jnp.float32) / kv_scale),
-                    -127, 127,
-                ).astype(jnp.int8)
-                gen_kv = jax.lax.dynamic_update_slice(
-                    cache, q8, (0, 0, 0, step, 0)
-                )
-                scales = jax.lax.dynamic_update_slice(
-                    gen["scale"],
-                    kv_scale[..., 0].astype(gen["scale"].dtype),
-                    (0, 0, 0, step),
-                )
-                gen_scales = (scales[0], scales[1])
-                new_cache = {"kv": gen_kv, "scale": scales}
+                new_cache = {}
+                for name, t_new in (("k", k_new), ("v", v_new)):
+                    amax = jnp.max(jnp.abs(t_new.astype(jnp.float32)),
+                                   axis=-1, keepdims=True)
+                    t_scale = jnp.maximum(amax, 1e-8) / 127.0
+                    q8 = jnp.clip(
+                        jnp.round(t_new.astype(jnp.float32) / t_scale),
+                        -127, 127,
+                    ).astype(jnp.int8)
+                    new_cache[name] = jax.lax.dynamic_update_slice(
+                        gen[name], q8, (0, 0, step, 0)
+                    )
+                    new_cache[name + "_scale"] = jax.lax.dynamic_update_slice(
+                        gen[name + "_scale"],
+                        t_scale[..., 0].astype(gen[name + "_scale"].dtype),
+                        (0, 0, step),
+                    )
+                gen_scales = (new_cache["k_scale"], new_cache["v_scale"])
             else:
-                gen_kv = jax.lax.dynamic_update_slice(
-                    cache, kv_new.astype(cache.dtype), (0, 0, 0, step, 0)
-                )
-                new_cache = {"kv": gen_kv}
+                new_cache = {
+                    "k": jax.lax.dynamic_update_slice(
+                        gen["k"], k_new.astype(gen["k"].dtype),
+                        (0, 0, step, 0)),
+                    "v": jax.lax.dynamic_update_slice(
+                        gen["v"], v_new.astype(gen["v"].dtype),
+                        (0, 0, step, 0)),
+                }
+            gen_k, gen_v = new_cache["k"], new_cache["v"]
             prompt_k = decode_state["prompt"]["k"]
             prompt_v = decode_state["prompt"]["v"]
             prompt_scales = (decode_state["prompt"].get("k_scale"),
@@ -403,14 +411,14 @@ class Attention(nn.Module):
                 # ancestor's slot is selected inside the attention math
                 # by a one-hot contraction over the row's K beams
                 # (global cache row -> local beam index)
-                k_beams = gen_kv.shape[1] // prompt_k.shape[0]
+                k_beams = gen_k.shape[0] // prompt_k.shape[0]
                 beam_sel = (gen_index % k_beams).astype(jnp.int32)
             out = decode_attention(
                 q[:, 0],
                 prompt_k,
                 prompt_v,
-                gen_kv[0],
-                gen_kv[1],
+                gen_k,
+                gen_v,
                 step=step + 1,
                 kv_start=decode_state.get("kv_start"),
                 alibi=alibi,

@@ -81,10 +81,16 @@ class DecoderBlock(nn.Module):
 
 def init_gen_cache(batch: int, max_new: int, cfg: LMConfig, dtype=jnp.bfloat16,
                    quantized: bool = False):
-    """Per-layer generated-token KV cache, K and V merged into one array
-    [2, B*, Hkv, max_new, D] so the per-step beam reorder and cache write
-    are ONE kernel each per layer instead of two (decode is
-    kernel-launch bound on small steps).
+    """Per-layer generated-token KV cache, SPLIT K and V arrays
+    [B*, Hkv, max_new, D].
+
+    Split beats the earlier merged [2, B*, Hkv, max_new, D] layout
+    decisively on TPU: the attention consumes `merged[0]` / `merged[1]`,
+    and a dot_general operand cannot fuse a slice, so XLA materialized
+    full copies of both cache halves per layer per step (~0.36 ms/layer
+    at the 4b decode shapes — benchmarks/cache_layout_probe.py, merged
+    5.11 vs split 2.25 ms per 8-layer sweep). The extra DUS write of the
+    split layout costs ~nothing; decode is HBM-bound, not launch-bound.
 
     Heads-major ([.., Hkv, max_new, D], not [.., max_new, Hkv, D]): the
     fused Pallas decode kernel blocks one (batch, head) slab per grid
@@ -95,13 +101,15 @@ def init_gen_cache(batch: int, max_new: int, cfg: LMConfig, dtype=jnp.bfloat16,
     quantized: int8 storage + per-(head, position) f32 scales — decode
     streams the whole padded cache every step, so halving its bytes
     shaves HBM-bound step time (see decode_attention docstring)."""
-    shape = (2, batch, cfg.kv_heads, max_new, cfg.head_dim)
+    shape = (batch, cfg.kv_heads, max_new, cfg.head_dim)
     if quantized:
         return {
-            "kv": jnp.zeros(shape, jnp.int8),
-            "scale": jnp.zeros(shape[:-1], jnp.float32),
+            "k": jnp.zeros(shape, jnp.int8),
+            "v": jnp.zeros(shape, jnp.int8),
+            "k_scale": jnp.zeros(shape[:-1], jnp.float32),
+            "v_scale": jnp.zeros(shape[:-1], jnp.float32),
         }
-    return {"kv": jnp.zeros(shape, dtype)}
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 class CausalLM(nn.Module):
