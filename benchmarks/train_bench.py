@@ -42,6 +42,7 @@ def main():
     steps = int(os.environ.get("BENCH_STEPS", "20"))
     image_size = int(os.environ.get("BENCH_IMAGE_SIZE", "0"))  # 0 = variant's
     remat = os.environ.get("BENCH_REMAT", "") == "1"
+    remat_policy = os.environ.get("BENCH_REMAT_POLICY", "none")
     # reference protocol: vision tower + LM backbone frozen (open_flamingo
     # factory); BENCH_UNFREEZE=1 measures the full-model train step
     unfreeze = os.environ.get("BENCH_UNFREEZE", "") == "1"
@@ -62,7 +63,7 @@ def main():
                             seq_len=history + 2,
                             image_size=image_size or 64)
         tok = synth_data.build_tokenizer(d, n_items=128)
-        cfg = get_config(variant, remat=remat)
+        cfg = get_config(variant, remat=remat, remat_policy=remat_policy)
         if image_size:
             cfg = cfg.replace(
                 vision=dataclasses.replace(cfg.vision, image_size=image_size)
@@ -157,6 +158,7 @@ def main():
         "mfu": round(flops_per_sec / peak, 4),
         "peak_tflops": peak / 1e12,
         "remat": remat,
+        "remat_policy": remat_policy,
         "bf16_state": bf16_state,
         "frozen_int8": frozen_int8,
         "grad_accum": accum,

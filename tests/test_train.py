@@ -381,8 +381,13 @@ def test_sharded_from_birth_init(setup):
         assert hasattr(s, "sharding")
 
 
-def test_remat_variant_trains(setup):
-    """cfg.remat wraps blocks in jax.checkpoint; grads still flow."""
+@pytest.mark.parametrize("remat_policy", ["none", "dots"])
+def test_remat_variant_trains(setup, remat_policy):
+    """cfg.remat wraps blocks in jax.checkpoint; grads still flow and
+    match the no-remat baseline bitwise-close (remat is numerically
+    neutral — it only changes WHAT is recomputed in backward).
+    remat_policy="dots" saves matmul outputs
+    (dots_with_no_batch_dims_saveable)."""
     import dataclasses
 
     from unimp_tpu.data.transforms import normalize_on_device
@@ -393,7 +398,8 @@ def test_remat_variant_trains(setup):
 
     tok, _, dl = setup
     batch = next(iter(dl))
-    cfg = get_config("debug", dtype="float32", remat=True)
+    cfg = get_config("debug", dtype="float32", remat=True,
+                     remat_policy=remat_policy)
     cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 64))
     model = UniMPModel(cfg)
     ids = jnp.asarray(batch["input_ids"])

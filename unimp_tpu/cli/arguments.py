@@ -145,6 +145,16 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
                         "softmax weights, no materialized copy); on the "
                         "XLA fallback path it is a memory lever only "
                         "(measured ~25%% slower there on v5e)")
+    p.add_argument("--remat", default=False, action="store_true",
+                   help="checkpoint each LM/xattn block: recompute "
+                        "activations in backward, trading FLOPs for HBM "
+                        "(required for 3B-class training on one chip)")
+    p.add_argument("--remat_policy", type=str, default="none",
+                   choices=["none", "dots"],
+                   help="remat save policy: 'dots' saves matmul outputs "
+                        "(dots_with_no_batch_dims_saveable) so backward "
+                        "recomputes only cheap elementwise work; 'none' "
+                        "recomputes everything (max memory savings)")
     p.add_argument("--eval_param_dtype", type=str, default="bf16",
                    choices=["bf16", "fp32", "int8"],
                    help="cast params for eval/serving (bf16 halves the "

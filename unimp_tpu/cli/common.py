@@ -61,6 +61,10 @@ def build_model(args, tokenizer) -> UniMPModel:
         overrides["cross_attn_every_n"] = args.cross_attn_every_n_layers
     if args.precision in ("fp32", "amp"):
         overrides["dtype"] = "float32"
+    if getattr(args, "remat", False):
+        overrides["remat"] = True
+    if getattr(args, "remat_policy", "none") != "none":
+        overrides["remat_policy"] = args.remat_policy
     if overrides:
         cfg = cfg.replace(**overrides)
     # embedding resize equivalent (mmrec.py:595): size the vocab to the

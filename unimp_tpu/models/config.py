@@ -103,6 +103,11 @@ class UniMPConfig:
     media_mode: str = "immediate"  # Flamingo: attend to most recent media
     dtype: str = "bfloat16"  # compute dtype; params stay float32
     remat: bool = False  # checkpoint each LM block (training memory)
+    # remat_policy="dots": jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # — matmul outputs are SAVED, only cheap elementwise work recomputes
+    # in backward (recompute FLOPs ~0 at some extra HBM); "none" = full
+    # recompute (max memory savings).
+    remat_policy: str = "none"
 
     @property
     def compute_dtype(self):

@@ -262,8 +262,12 @@ class UniMPModel(nn.Module):
             return mdl(h, lat, qm, km, return_cache=False)[0]
 
         if use_remat:
-            run_block = nn.remat(run_block)
-            run_xattn = nn.remat(run_xattn)
+            policy = (
+                jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+                if cfg.remat_policy == "dots" else None
+            )
+            run_block = nn.remat(run_block, policy=policy)
+            run_xattn = nn.remat(run_xattn, policy=policy)
 
         self_caches, xattn_caches = [], []
         for i, (block, xattn) in enumerate(zip(self.blocks, self.xattns)):
