@@ -47,7 +47,12 @@ def main():
 
     enable_compilation_cache()
 
-    b, kb, h, d, t, g = 16, 10, 32, 80, 128, 50
+    if os.environ.get("PROBE_VARIANT", "4b") == "small":
+        # small-variant decode shapes (LMConfig _SMALL_LM: 8 heads x 64,
+        # bench.py small eval: batch 32, 10 beams)
+        b, kb, h, d, t, g = 32, 10, 8, 64, 128, 50
+    else:
+        b, kb, h, d, t, g = 16, 10, 32, 80, 128, 50
     bk = b * kb
     fill = int(os.environ.get("PROBE_FILL", "25"))
     layers = int(os.environ.get("PROBE_LAYERS", "8"))

@@ -54,7 +54,8 @@ def log(msg):
 INNER = int(os.environ.get("BENCH_INNER", "8"))
 
 _ALL_STAGES = ("floor", "gemv", "loop", "beam", "attn", "xattn",
-               "lm_head", "layer", "step_full", "step1", "prefill")
+               "lm_head", "layer", "step_full", "step1", "prefill",
+               "vision")
 _SEL = [s for s in os.environ.get("PROFILE_STAGES", "")
         .replace(",", " ").split() if s]
 
@@ -242,12 +243,27 @@ def main():
             num_return_sequences=beams,
         )
         gen = Generator(model, gen_cfg, media_id=tok.media_token_id)
-        latents = jax.jit(
+        encode_fn = jax.jit(
             lambda p, v: model.apply(
                 {"params": p}, normalize_on_device(v),
                 method=UniMPModel.encode_vision,
             )
-        )(params, jnp.asarray(probe["images"]))
+        )
+        imgs_dev = jnp.asarray(probe["images"])
+        latents = encode_fn(params, imgs_dev)
+        vision_encode_s = None
+        if want("vision"):
+            # vision-encode share of prefill (VERDICT r5 item 10:
+            # attribute vision-encode vs LM-prefill vs host at 4b)
+            np.asarray(latents)
+            times = []
+            for _ in range(4):
+                t0 = time.perf_counter()
+                np.asarray(encode_fn(params, imgs_dev))
+                times.append(time.perf_counter() - t0)
+            vision_encode_s = float(np.median(times))
+            log(f"[profile] vision encode {vision_encode_s*1e3:.2f} ms "
+                f"({int(imgs_dev.shape[0] * imgs_dev.shape[1])} images)")
 
         # ------------- real loop per-step (ground truth) -------------
         # FIRST, before the standalone decode state exists: the whole-
@@ -648,6 +664,7 @@ def main():
         "beam_math_ms": ms(beam_s),
         "loop_step_ms": ms(loop_step_s),
         "prefill_ms": ms(prefill_s),
+        "vision_encode_ms": ms(vision_encode_s),
         "loop_step_net_ms": (
             round((loop_s - prefill_s) / max_new * 1e3, 2)
             if (loop_s and prefill_s is not None) else None),

@@ -47,6 +47,15 @@ import os
 import sys
 import tempfile
 
+# CPU-only protocol (torch oracle runs on CPU; the comparison must not
+# race TPU benchmark jobs) — force the cpu platform BEFORE any backend
+# initializes, exactly like tests/conftest.py (the sandbox sitecustomize
+# pins the remote-TPU "axon" backend otherwise).
+os.environ["JAX_PLATFORMS"] = "cpu"
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -57,8 +66,14 @@ for p in (ROOT, os.path.join(ROOT, "tests")):
 EVAL_MAX_NEW = 6  # both sides; the answer is one atomic item token
 
 
-def build_data(tmp, *, n_items, n_users, steps, batch_size, seed=0):
-    """Synthetic dataset -> tokenizer -> materialized token batches."""
+def build_data(tmp, *, n_items, n_users, steps, batch_size, seed=0,
+               tasks=("rec",)):
+    """Synthetic dataset -> tokenizer -> materialized token batches.
+
+    tasks: training mixture, final task last — lists reproduce the
+    reference's multi-task mixing with 25% subsampling of every
+    non-final task (rec_dataset.py:180-206). Eval always runs the rec
+    protocol on the test split."""
     from unimp_tpu.data.dataset import TaskDataset
     from unimp_tpu.data.loader import DataLoader
     from unimp_tpu.data.tokenizer import UniMPTokenizer
@@ -77,13 +92,15 @@ def build_data(tmp, *, n_items, n_users, steps, batch_size, seed=0):
     extend_vocabulary(tok, subset="beauty", use_semantic=False, task="rec",
                       n_items=n_items)
 
-    def mk(split, shuffle):
-        ds = TaskDataset(tmp, "beauty", "rec", split, tok,
+    def mk(split, shuffle, task="rec"):
+        ds = TaskDataset(tmp, "beauty", task, split, tok,
                          history_len=5, n_items=n_items, load_images=False)
         return DataLoader(ds, batch_size, tok.pad_token_id, shuffle=shuffle,
                           seed=seed, drop_last=shuffle, num_workers=0)
 
-    train_loader = mk("train", True)
+    tasks = list(tasks)
+    train_loader = mk("train", True,
+                      task=tasks if len(tasks) > 1 else tasks[0])
     train_batches = []
     epoch = 0
     while len(train_batches) < steps:
@@ -299,6 +316,11 @@ def main(argv=None):
     # training users -> 100 eval users, so one beam flip moves HR by 1%
     ap.add_argument("--n-users", type=int, default=600)
     ap.add_argument("--batch-size", type=int, default=8)
+    ap.add_argument("--tasks", default="rec",
+                    help="comma list, final task last — multi-task "
+                         "mixing with 25%% non-final subsampling "
+                         "(rec_dataset.py:180-206), e.g. "
+                         "search,exp,img_sel,rec")
     ap.add_argument("--lr", type=float, default=1e-3)
     ap.add_argument("--out", default=None)
     args = ap.parse_args(argv)
@@ -306,7 +328,8 @@ def main(argv=None):
     with tempfile.TemporaryDirectory() as tmp:
         tok, train_batches, eval_batches = build_data(
             tmp, n_items=args.n_items, n_users=args.n_users,
-            steps=args.steps, batch_size=args.batch_size)
+            steps=args.steps, batch_size=args.batch_size,
+            tasks=tuple(args.tasks.split(",")))
         tl, model, params = build_models(tok)
 
         print(f"[parity] vocab={len(tok)} train_steps={len(train_batches)} "
@@ -330,7 +353,8 @@ def main(argv=None):
         record = {
             "config": {"steps": args.steps, "n_items": args.n_items,
                        "n_users": args.n_users, "lr": args.lr,
-                       "batch_size": args.batch_size},
+                       "batch_size": args.batch_size,
+                       "tasks": args.tasks},
             "torch": t_metrics, "jax": j_metrics, "delta": deltas,
             "train_loss_max_gap": loss_gap,
             "torch_final_loss": t_losses[-1], "jax_final_loss": j_losses[-1],

@@ -63,12 +63,22 @@ def main():
     model = UniMPModel(cfg)
     ids = jnp.ones((1, 16), jnp.int32).at[0, 1].set(tok.media_token_id)
     img = cfg.vision.image_size
+    from unimp_tpu.utils.inference import cast_params_for_inference
+
     params = jax.jit(
-        lambda r: model.init(
+        lambda r: cast_params_for_inference(model.init(
             r, ids, vision_x=jnp.zeros((1, 1, img, img, 3), jnp.float32),
             q_media=compute_q_media(ids, tok.media_token_id),
-        )["params"]
+        )["params"])
     )(jax.random.PRNGKey(0))
+    if os.environ.get("BENCH_QUANT", "") == "int8":
+        # --eval_param_dtype=int8 parity (the reference worker's
+        # load_in_8bit, model_worker.py:86-142) — required to fit the
+        # 4b variant's weights for serving on one 16 GB chip
+        from unimp_tpu.utils.quant import quantize_params_int8
+
+        params = quantize_params_int8(params)
+        print("[serve_bench] int8 weight-only params", file=sys.stderr)
 
     batched = os.environ.get("BENCH_UNBATCHED", "") != "1"
     worker = ModelWorker(model, params, tok, [variant], image_size=img,

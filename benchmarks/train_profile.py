@@ -13,8 +13,12 @@ step - (fwd+bwd). Compare against analytic FLOPs (utils/flops.py) for a
 per-term MFU roofline. Answers VERDICT r4 item 1 (the reference hot
 loop at /root/reference/UniMP/mmrec.py:177-215).
 
-Env: BENCH_VARIANT (3b-mpt), BENCH_FROZEN (int8|bf16), BENCH_REMAT_POLICY
-(dots|none), BENCH_ATTN ( "" = auto, xla, pallas), BENCH_STEPS (10).
+Env: BENCH_VARIANT (3b-mpt), BENCH_FROZEN (int8|bfloat16),
+BENCH_REMAT_POLICY (dots|none), BENCH_ATTN ("" = auto, xla, pallas),
+BENCH_STEPS (10), BENCH_PROGRAMS (comma list of vision,fwd,fwdbwd,step,
+data — default "vision,step,data"; each extra program is a separate
+3B-scale XLA compile over the remote tunnel, ~10+ min apiece, so ask
+only for the terms the question needs).
 """
 
 import dataclasses
@@ -68,6 +72,8 @@ def main():
     policy = os.environ.get("BENCH_REMAT_POLICY", "dots")
     attn = os.environ.get("BENCH_ATTN", "")
     steps = int(os.environ.get("BENCH_STEPS", "10"))
+    programs = set(os.environ.get("BENCH_PROGRAMS",
+                                  "vision,step,data").split(","))
     batch, accum, media, history = 3, 2, 6, 10
     if attn:
         os.environ["UNIMP_ATTN_IMPL"] = attn
@@ -115,16 +121,20 @@ def main():
                 {"params": params}, normalize_on_device(images),
                 method=UniMPModel.encode_vision)
 
-        tv, _ = timed(vision_only, state.params, imgs, steps=steps)
-        report["vision_ms"] = round(tv * 1e3, 2)
+        tv = None
+        if "vision" in programs:
+            tv, _ = timed(vision_only, state.params, imgs, steps=steps)
+            report["vision_ms"] = round(tv * 1e3, 2)
 
         # --- full loss forward ---
         @jax.jit
         def fwd(params, b):
             return trainer._loss_fn(params, b)[0]
 
-        tf_, _ = timed(fwd, state.params, dev, steps=steps)
-        report["fwd_ms"] = round(tf_ * 1e3, 2)
+        tf_ = None
+        if "fwd" in programs:
+            tf_, _ = timed(fwd, state.params, dev, steps=steps)
+            report["fwd_ms"] = round(tf_ * 1e3, 2)
 
         # --- fwd + bwd over trainable subtree (microbatch-scanned like
         # the real step) ---
@@ -150,29 +160,35 @@ def main():
             _, _ = jax.lax.scan(body, 0.0, jax.tree.map(lambda x: x[1:], mbs))
             return l0, g0
 
-        tb, _ = timed(fwdbwd, t_params, dev, steps=steps)
-        report["fwdbwd_ms"] = round(tb * 1e3, 2)
+        tb = None
+        if "fwdbwd" in programs:
+            tb, _ = timed(fwdbwd, t_params, dev, steps=steps)
+            report["fwdbwd_ms"] = round(tb * 1e3, 2)
 
         # --- the real train step ---
-        state, m = trainer.train_step(state, sample)
-        float(m["loss"])
-        t0 = time.perf_counter()
-        for _ in range(steps):
+        ts = None
+        if "step" in programs:
             state, m = trainer.train_step(state, sample)
-        float(m["loss"])
-        ts = (time.perf_counter() - t0) / steps
-        report["step_ms"] = round(ts * 1e3, 2)
+            float(m["loss"])
+            t0 = time.perf_counter()
+            for _ in range(steps):
+                state, m = trainer.train_step(state, sample)
+            float(m["loss"])
+            ts = (time.perf_counter() - t0) / steps
+            report["step_ms"] = round(ts * 1e3, 2)
 
         # --- host input time (loader iteration, 1-core host) ---
-        it = iter(dl)
-        next(it)
-        t0 = time.perf_counter()
-        n = 0
-        for b in it:
-            n += 1
-            if n >= min(steps, 8):
-                break
-        report["data_ms_per_batch"] = round((time.perf_counter() - t0) / max(n, 1) * 1e3, 2)
+        if "data" in programs:
+            it = iter(dl)
+            next(it)
+            t0 = time.perf_counter()
+            n = 0
+            for b in it:
+                n += 1
+                if n >= min(steps, 8):
+                    break
+            report["data_ms_per_batch"] = round(
+                (time.perf_counter() - t0) / max(n, 1) * 1e3, 2)
 
         # --- analytic attribution ---
         n_img = batch * accum * media
@@ -184,16 +200,22 @@ def main():
                  + F.xattn_forward_flops(cfg, batch * accum, seq,
                                          media * cfg.resampler.num_latents)
                  + vis_f + F.resampler_forward_flops(cfg, n_img))
-        report["analytic"] = {
+        analytic = {
             "vision_tflops": round(vis_f / 1e12, 3),
             "fwd_tflops": round(fwd_f / 1e12, 3),
             "step_tflops": round(step_f / 1e12, 3),
-            "vision_mfu": round(vis_f / tv / 197e12, 4),
-            "fwd_mfu": round(fwd_f / tf_ / 197e12, 4),
-            "step_mfu": round(step_f / ts / 197e12, 4),
-            "bwd_ms": round((tb - tf_) * 1e3, 2),
-            "opt_guard_ms": round((ts - tb) * 1e3, 2),
         }
+        if tv is not None:
+            analytic["vision_mfu"] = round(vis_f / tv / 197e12, 4)
+        if tf_ is not None:
+            analytic["fwd_mfu"] = round(fwd_f / tf_ / 197e12, 4)
+        if ts is not None:
+            analytic["step_mfu"] = round(step_f / ts / 197e12, 4)
+        if tb is not None and tf_ is not None:
+            analytic["bwd_ms"] = round((tb - tf_) * 1e3, 2)
+        if ts is not None and tb is not None:
+            analytic["opt_guard_ms"] = round((ts - tb) * 1e3, 2)
+        report["analytic"] = analytic
         print(json.dumps(report))
 
 
