@@ -186,11 +186,17 @@ def main():
         log(f"[bench] batched pass 1: {batched_ips:.2f} items/s")
         batched_ips = max(batched_ips, batched_pass())
         log(f"[bench] batched best: {batched_ips:.2f} items/s; baseline ...")
-        baseline_ips = run(make_loader(1, ds), baseline_users, depth=0)
-        baseline_ips = max(
-            baseline_ips, run(make_loader(1, ds), baseline_users, depth=0)
-        )
-        log(f"[bench] baseline best: {baseline_ips:.2f} items/s")
+        if baseline_users > 0:
+            baseline_ips = run(make_loader(1, ds), baseline_users, depth=0)
+            baseline_ips = max(
+                baseline_ips, run(make_loader(1, ds), baseline_users, depth=0)
+            )
+            log(f"[bench] baseline best: {baseline_ips:.2f} items/s")
+        else:
+            # BENCH_BASELINE_USERS=0: skip the per-user reference
+            # protocol entirely (saves the batch-1 compile during
+            # config sweeps); vs_baseline reports null
+            baseline_ips = 0.0
 
         # decode MFU: analytic model FLOPs per item / measured wall time
         from unimp_tpu.utils.flops import decode_flops, detect_peak_flops

@@ -57,6 +57,10 @@ def main():
     history = int(os.environ.get("BENCH_HISTORY", "5"))
     fixed_media = int(os.environ.get("BENCH_MEDIA", "5"))
     seq_shard = os.environ.get("BENCH_SEQ_SHARD", "") == "1"
+    # BENCH_VISION_CACHE=1: precompute frozen-tower features per item
+    # once (train/vision_cache.py) and stream image IDS — the reference
+    # re-encodes the same item images every epoch
+    vision_cache_on = os.environ.get("BENCH_VISION_CACHE", "") == "1"
 
     with tempfile.TemporaryDirectory() as d:
         synth_data.generate(d, n_items=128, n_users=64,
@@ -71,7 +75,8 @@ def main():
         cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 128))
         model = UniMPModel(cfg)
         ds = TaskDataset(d, "beauty", "rec", "train", tok, n_items=128,
-                         history_len=history, image_size=cfg.vision.image_size)
+                         history_len=history, image_size=cfg.vision.image_size,
+                         load_images=not vision_cache_on)
         # the loader delivers accum microbatches at once; the trainer
         # scans them inside one jitted step (reference semantics:
         # micro-bsz x accum effective batch, unimp_task.sh:9-30)
@@ -105,6 +110,8 @@ def main():
         rng = jax.random.PRNGKey(0)
         sample = next(iter(dl))
         ids = jnp.asarray(sample["input_ids"])
+        if vision_cache_on:
+            assert not unfreeze, "vision cache requires the frozen tower"
         # abstract tree for the optimizer mask; real params are created
         # once inside init_state (sharded-from-birth when mesh is set)
         abstract = trainer.abstract_params(sample)
@@ -117,6 +124,16 @@ def main():
             nu_dtype="bfloat16" if bf16_state else None,
         )
         state = trainer.init_state(rng, sample)
+        if vision_cache_on:
+            from unimp_tpu.train.vision_cache import build_tower_cache
+
+            t_cache = time.perf_counter()
+            trainer.vision_cache = build_tower_cache(
+                model, state.params, ds.item_image, 128, chunk=64)
+            cache_s = time.perf_counter() - t_cache
+            print(f"[train_bench] tower cache built in {cache_s:.1f}s "
+                  f"({trainer.vision_cache.nbytes / 2**20:.0f} MiB)",
+                  file=sys.stderr)
 
         # warmup/compile (float() materializes; block_until_ready is not
         # a reliable sync point on the remote-tunnel TPU platform)
@@ -140,7 +157,8 @@ def main():
 
     step_flops = train_step_flops(cfg, batch * accum, int(ids.shape[1]),
                                   images_per_sample=fixed_media,
-                                  frozen_backbone=not unfreeze)
+                                  frozen_backbone=not unfreeze,
+                                  cached_vision=vision_cache_on)
     peak = detect_peak_flops()
     flops_per_sec = step_flops * steps / dt
     print(json.dumps({
@@ -164,6 +182,7 @@ def main():
         "grad_accum": accum,
         "images_per_sample": fixed_media,
         "seq_shard": seq_shard,
+        "vision_cache": vision_cache_on,
     }))
 
 

@@ -190,3 +190,26 @@ def test_multitask_curriculum_cli(env):
     )
     assert state is not None
     assert int(state.step) >= 2
+
+
+def test_train_cli_cache_vision_latents(env):
+    """--cache_vision_latents end-to-end: id-batches + device tower
+    cache through train + per-epoch eval (VERDICT r4 item 1a)."""
+    data, runs = env
+    from unimp_tpu.cli import mmrec
+
+    state = mmrec.main(
+        _common_args(data, runs)
+        + ["--run_name=viscache", "--do_test", "--use_reweight",
+           "--cache_vision_latents"]
+    )
+    assert state is not None
+    run_dir = os.path.join(runs, "viscache")
+    assert os.path.isdir(os.path.join(run_dir, "final_weights"))
+    lines = [json.loads(l) for l in open(
+        os.path.join(run_dir, "viscache_metrics.jsonl"))]
+    losses = [l["loss_multi_instruct"] for l in lines
+              if "loss_multi_instruct" in l]
+    assert losses and all(
+        l == l and abs(l) < 1e6 for l in losses)  # finite
+    assert any("rec/hr@3" in l for l in lines)

@@ -30,8 +30,11 @@ needs_ref = pytest.mark.skipif(
 def test_composed_quality_parity():
     import parity_check
 
+    # multi-task mixture (search/exp/img_sel subsampled 25%, rec final —
+    # rec_dataset.py:180-206 semantics), rec eval protocol
     record = parity_check.main([
         "--steps", "60", "--n-users", "240", "--n-items", "32",
+        "--tasks", "search,exp,img_sel,rec",
     ])
     # per-step losses must track at f32-accumulation noise level: this is
     # the composed data+masking+loss+optimizer path agreeing, not luck
@@ -39,3 +42,24 @@ def test_composed_quality_parity():
     for k in ("hr@10", "ndcg@10", "hr@5", "mrr@10"):
         assert record["delta"][k] <= 0.026, (k, record)  # 1 flip in 40 users
     assert record["jax"]["n_users"] == 40
+
+
+@needs_ref
+def test_powered_parity_record_is_committed():
+    """The SHIPPED parity evidence must be powered: >=500 evaluated
+    users (one beam flip <= 0.2%), multi-task training, every rank-metric
+    delta within the BASELINE.md 1% clause WITH margin (VERDICT r4
+    item 4). Regenerate with:
+    python benchmarks/parity_check.py --steps 150 --n-users 3000
+        --n-items 32 --tasks search,exp,img_sel,rec --out <record>"""
+    import json
+
+    path = os.path.join(os.path.dirname(__file__), "..", "benchmarks",
+                        "records", "parity_composed_multitask_cpu.json")
+    with open(path) as f:
+        rec = json.load(f)
+    assert rec["jax"]["n_users"] >= 500
+    assert "," in rec["config"]["tasks"]
+    assert rec["train_loss_max_gap"] < 5e-3
+    for k, v in rec["delta"].items():
+        assert v <= 0.005, (k, v)  # half the 1% clause

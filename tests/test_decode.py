@@ -635,13 +635,22 @@ def test_model_decode_kv_int8_pallas_impl(model_and_params, monkeypatch):
 
 
 def test_kv_int8_pins_pallas_dispatch(model_and_params, monkeypatch):
-    """kv_int8 must auto-pin the Pallas decode impl on a single device
-    (under XLA the dequantized cache copies materialize — measured ~25%
-    slower at 4b) and warn when a >1-device mesh forces the XLA impl."""
+    """kv_int8 must auto-pin the Pallas decode impl on a single TPU
+    device (under XLA the dequantized cache copies materialize —
+    measured ~25% slower at 4b), must NOT pin on CPU/GPU backends
+    (there "pallas" means interpret mode, orders of magnitude slower;
+    ADVICE r4), and must warn when a >1-device mesh forces XLA."""
+    import unimp_tpu.decode.sampler as sampler_mod
+
     cfg, model, params = model_and_params
     monkeypatch.delenv("UNIMP_DECODE_IMPL", raising=False)
     gcfg = GenerationConfig(max_new_tokens=4, eos_id=3, pad_id=0,
                             kv_int8=True)
+    # this suite runs on CPU: the auto-pin must stay off here ...
+    gen_cpu = Generator(model, gcfg, media_id=7)
+    assert gen_cpu.attn_impl is None
+    # ... and engage on a TPU backend
+    monkeypatch.setattr(sampler_mod.jax, "default_backend", lambda: "tpu")
     gen = Generator(model, gcfg, media_id=7)
     assert gen.attn_impl == "pallas"
 
@@ -676,6 +685,11 @@ def test_batched_engine_kv_int8_pins_pallas(monkeypatch):
         eos_token_id = 3
         pad_token_id = 0
 
+    # CPU backend (this suite): no auto-pin — interpret-mode Pallas
+    # would be orders of magnitude slower (ADVICE r4)
+    eng_cpu = BatchedStreamingEngine(None, _Tok(), kv_int8=True)
+    assert eng_cpu.attn_impl is None
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     eng = BatchedStreamingEngine(None, _Tok(), kv_int8=True)
     assert eng.attn_impl == "pallas"
     eng_bf16 = BatchedStreamingEngine(None, _Tok(), kv_int8=False)

@@ -380,3 +380,150 @@ def test_per_source_formats_distinct():
     body = sn.text
     assert body.index("what color") < body.index("describe densely") < \
         body.index("navigate")
+
+
+# --------- official VQA normalization goldens (vqa_metric.py:218-470) ---------
+# The oracles below are LITERAL ports of the reference's normalization
+# passes and consensus loop (/root/reference/UniMP/pipeline/eval/
+# vqa_metric.py: processPunctuation :447, processDigitArticle :458,
+# VQAEval.evaluate :383-445) — kept verbatim, quirks and all, so the
+# hermetic implementation in unimp_tpu/evals/vqa_normalize.py is pinned
+# to the official metric.
+
+import re as _re
+
+from unimp_tpu.evals import vqa_normalize as V
+
+_REF_PERIOD_STRIP = _re.compile("(?!<=\\d)(\\.)(?!\\d)")
+_REF_COMMA_STRIP = _re.compile("(\\d)(\\,)(\\d)")
+_REF_PUNCT = [";", r"/", "[", "]", '"', "{", "}", "(", ")", "=", "+",
+              "\\", "_", "-", ">", "<", "@", "`", ",", "?", "!"]
+
+
+def _ref_process_punctuation(inText):  # vqa_metric.py:447-456, verbatim
+    outText = inText
+    for p in _REF_PUNCT:
+        if (p + " " in inText or " " + p in inText) or (
+            _re.search(_REF_COMMA_STRIP, inText) is not None
+        ):
+            outText = outText.replace(p, "")
+        else:
+            outText = outText.replace(p, " ")
+    outText = _REF_PERIOD_STRIP.sub("", outText, _re.UNICODE)
+    return outText
+
+
+def _ref_process_digit_article(inText):  # vqa_metric.py:458-470, verbatim
+    manualMap = dict(V.MANUAL_MAP)  # the reference's setdefault mutates
+    articles = ["a", "an", "the"]
+    contractions = V.CONTRACTIONS
+    outText = []
+    tempText = inText.lower().split()
+    for word in tempText:
+        word = manualMap.setdefault(word, word)
+        if word not in articles:
+            outText.append(word)
+        else:
+            pass
+    for wordId, word in enumerate(outText):
+        if word in contractions:
+            outText[wordId] = contractions[word]
+    outText = " ".join(outText)
+    return outText
+
+
+def _ref_vqa_accuracy(resAns, answers):  # VQAEval.evaluate :383-445, one quesId
+    gts = [{"answer": a, "answer_id": i} for i, a in enumerate(answers)]
+    for ansDic in gts:
+        ansDic["answer"] = ansDic["answer"].replace("\n", " ")
+        ansDic["answer"] = ansDic["answer"].replace("\t", " ")
+        ansDic["answer"] = ansDic["answer"].strip()
+    resAns = resAns.replace("\n", " ").replace("\t", " ").strip()
+    gtAcc = []
+    gtAnswers = [ans["answer"] for ans in gts]
+    if len(set(gtAnswers)) > 1:
+        for ansDic in gts:
+            ansDic["answer"] = _ref_process_punctuation(ansDic["answer"])
+            ansDic["answer"] = _ref_process_digit_article(ansDic["answer"])
+        resAns = _ref_process_punctuation(resAns)
+        resAns = _ref_process_digit_article(resAns)
+    for gtAnsDatum in gts:
+        otherGTAns = [item for item in gts if item != gtAnsDatum]
+        matchingAns = [item for item in otherGTAns if item["answer"] == resAns]
+        acc = min(1, float(len(matchingAns)) / 3)
+        gtAcc.append(acc)
+    return float(sum(gtAcc)) / len(gtAcc)
+
+
+_TRICKY = [
+    "don't", "do not", "dont know", "2", "two", "twenty two", "none",
+    "a dog", "an apple", "the white house", "1,000", "10,000 feet",
+    "yes!", "no?", "black/white", "semi-circle", "b&w photo",
+    "it's 2.5 meters", "1.5", ".5", "a.m.", "U.S.A.", "what? is, this.",
+    "he's  got   spaces", "tab\there", "new\nline", "", "   ",
+    "mc donald's", "(parenthetical)", "[brackets]", "quote\"inside",
+    "one; two; three", "x = y + z", "a_b_c", "<html>", "`tick`",
+    "50,000", "one hundred", "zero", "ten", "could've been",
+    "y'all'd've", "" + "." * 40,  # >32 periods: count-arg quirk
+]
+
+
+def test_vqa_normalization_passes_match_reference():
+    for s in _TRICKY:
+        assert V.process_punctuation(s) == _ref_process_punctuation(s), s
+        assert V.process_digit_article(s) == _ref_process_digit_article(s), s
+        both = V.process_digit_article(V.process_punctuation(s))
+        ref = _ref_process_digit_article(_ref_process_punctuation(s))
+        assert both == ref, s
+
+
+def test_vqa_accuracy_matches_reference_protocol():
+    cases = [
+        ("2", ["two", "2", "two", "one", "2", "two", "2", "2", "two", "2"]),
+        ("don't", ["do not"] * 5 + ["dont"] * 5),
+        ("Blue.", ["blue"] * 10),              # unanimous: NO normalization
+        ("blue", ["blue"] * 10),
+        ("the cat", ["cat", "cat", "dog", "cat", "cat", "kitten",
+                     "cat", "cat", "cat", "cat"]),
+        ("1,000", ["1000", "one thousand", "1,000", "1000", "1000",
+                   "thousand", "1000", "1000", "1000", "1000"]),
+        ("light blue", ["blue", "blue", "blue", "light blue", "navy",
+                        "blue", "blue", "azure", "blue", "blue"]),
+        ("", ["yes"] * 9 + ["no"]),
+    ]
+    for pred, answers in cases:
+        assert abs(V.vqa_accuracy(pred, answers)
+                   - _ref_vqa_accuracy(pred, answers)) < 1e-12, (pred, answers)
+    # unanimity quirk is real: case survives when answers agree
+    assert V.vqa_accuracy("Blue.", ["blue"] * 10) == 0.0
+    assert V.vqa_accuracy("blue", ["blue"] * 10) == 1.0
+
+
+def test_okvqa_stemmer():
+    # manual-table rows behave exactly as the OK-VQA release pins them
+    # (ok_vqa_utils.py:15-188)
+    assert V.okvqa_stem("christmas") == "christmas"
+    assert V.okvqa_stem("riding") == "ride"
+    assert V.okvqa_stem("leaves") == "leaf"
+    assert V.okvqa_stem("clothes") == "cloth"
+    assert V.okvqa_stem("firefighters") == "firefight"
+    assert V.okvqa_stem("yes") == "yes"
+    # automatic rules: -ing verbs lemmatize, plural nouns singularize
+    assert V.okvqa_stem("running") == "run"
+    assert V.okvqa_stem("sitting") == "sit"
+    assert V.okvqa_stem("spelling") == "spell"
+    assert V.okvqa_stem("dogs") == "dog"
+    assert V.okvqa_stem("benches") == "bench"
+    assert V.okvqa_stem("berries") == "berry"
+    assert V.okvqa_stem("glass") == "glass"      # ss is not a plural
+    assert V.okvqa_stem("skiing man") == "ski man"
+    assert V.okvqa_stem("two dogs playing") == "two dog play"
+
+
+def test_vqa_generation_postprocess():
+    # vqa_metric.py postprocess_vqa_generation / ok_vqa_utils.py:211-214
+    assert V.postprocess_vqa_generation(
+        "a red kite Question: what else") == "a red kite "
+    assert V.postprocess_vqa_generation("blue Answer: blue") == "blue "
+    assert V.postprocess_ok_vqa_generation(
+        "playing frisbee Question: next") == "play frisbee"

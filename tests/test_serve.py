@@ -294,3 +294,71 @@ def test_conversation_template_zoo_golden():
     assert get_conv_template("v1").messages == v1.messages[:4] or True
     v1.append_message("Human", "extra")
     assert len(CONV_TEMPLATES["v1"].messages) == 2
+
+
+def test_web_server_moderation_hook(tiny_worker):
+    """C26 closure: the web UI's /api/generate gates input through an
+    injectable moderation_fn; flagged prompts short-circuit with the
+    reference's canned message and NO worker call (reference
+    gradio_web_server.py:216-230 under --moderate, message
+    serving_utils.py:13-15)."""
+    import requests
+
+    from unimp_tpu.serve.constants import MODERATION_MSG
+    from unimp_tpu.serve.web_server import make_handler as web_handler
+
+    wsrv = ThreadingHTTPServer(("127.0.0.1", 0), worker_handler(tiny_worker))
+    wport = wsrv.server_address[1]
+    threading.Thread(target=wsrv.serve_forever, daemon=True).start()
+    c = Controller()
+    c.register_worker(f"http://127.0.0.1:{wport}", False, tiny_worker.status())
+    csrv = ThreadingHTTPServer(("127.0.0.1", 0), controller_handler(c))
+    cport = csrv.server_address[1]
+    threading.Thread(target=csrv.serve_forever, daemon=True).start()
+
+    seen = []
+
+    def moderation_fn(text):
+        seen.append(text)
+        return "forbidden" in text
+
+    websrv = ThreadingHTTPServer(
+        ("127.0.0.1", 0),
+        web_handler(f"http://127.0.0.1:{cport}", moderation_fn=moderation_fn),
+    )
+    wbport = websrv.server_address[1]
+    threading.Thread(target=websrv.serve_forever, daemon=True).start()
+
+    def gen(prompt):
+        r = requests.post(
+            f"http://127.0.0.1:{wbport}/api/generate",
+            json={"model": "tiny", "prompt": prompt, "max_new_tokens": 4},
+            stream=True, timeout=30,
+        )
+        raw = b"".join(r.iter_content(chunk_size=None))
+        return [json.loads(p) for p in raw.split(b"\0") if p]
+
+    try:
+        flagged = gen("forbidden words")
+        assert len(flagged) == 1
+        assert flagged[0]["text"] == MODERATION_MSG
+        assert flagged[0]["error_code"] == 1
+
+        ok = gen("hello world")
+        assert ok and ok[-1].get("finish") is True
+        assert all(ch["error_code"] == 0 for ch in ok)
+        assert seen == ["forbidden words", "hello world"]
+    finally:
+        websrv.shutdown()
+        wsrv.shutdown()
+        csrv.shutdown()
+
+
+def test_violates_moderation_fails_open(monkeypatch):
+    """No reachable endpoint (this sandbox has zero egress) -> flagged
+    False, matching the reference's RequestException fallback
+    (serving_utils.py:122-127)."""
+    from unimp_tpu.serve.web_server import violates_moderation
+
+    monkeypatch.setenv("UNIMP_MODERATION_URL", "http://127.0.0.1:1/nope")
+    assert violates_moderation("anything", timeout=0.2) is False

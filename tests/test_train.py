@@ -557,3 +557,81 @@ def test_fused_accum_with_int8_frozen_backbone(setup):
     assert np.isfinite(float(metrics["loss"]))
     assert np.abs(np.asarray(state.params["embed"]["embedding"])
                   - emb_before).max() > 0
+
+
+def test_cached_vision_step_matches_image_step(setup, tmp_path):
+    """Frozen-tower latent caching (train/vision_cache.py): a train step
+    fed precomputed tower features via image_ids must produce the SAME
+    loss and updated trainable params as the step that encodes images
+    in-line — the tower is frozen and the transform deterministic, so
+    its features are constants of training (VERDICT r4 item 1a;
+    reference protocol mmrec.py:475-524, rec_dataset.py:90-107)."""
+    import dataclasses
+
+    from unimp_tpu.train.partition import backbone_trainable_mask
+    from unimp_tpu.train.vision_cache import build_tower_cache, tower_cache_bytes
+
+    d = str(tmp_path / "synth")
+    synth_data.generate(d, n_items=16, n_users=8, image_size=28)
+    tok = synth_data.build_tokenizer(d, n_items=16)
+    cfg = get_config("debug", dtype="float32")
+    cfg = cfg.replace(lm=dataclasses.replace(cfg.lm, vocab_size=len(tok) + 64))
+    model = UniMPModel(cfg)
+
+    def mk_loader(load_images):
+        ds = TaskDataset(d, "beauty", "rec", "train", tok, n_items=16,
+                         history_len=5, image_size=28,
+                         load_images=load_images)
+        return ds, DataLoader(ds, batch_size=4, pad_id=tok.pad_token_id,
+                              num_workers=0, pad_to_multiple=32, seed=0)
+
+    ds_img, dl_img = mk_loader(True)
+    ds_ids, dl_ids = mk_loader(False)
+    batch_img = next(iter(dl_img))
+    batch_ids = next(iter(dl_ids))
+    np.testing.assert_array_equal(batch_img["input_ids"],
+                                  batch_ids["input_ids"])
+
+    def mk_trainer(vision_cache):
+        t = Trainer(
+            model, optimizer=None, media_id=tok.media_token_id,
+            answer_id=tok.answer_token_id,
+            endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+            use_reweight=True, trainable_mask=backbone_trainable_mask,
+            vision_cache=vision_cache,
+        )
+        return t
+
+    t_img = mk_trainer(None)
+    abstract = t_img.trainable_abstract(batch_img)
+    t_img.optimizer = make_optimizer(abstract, learning_rate=1e-2,
+                                     lr_scheduler="constant",
+                                     total_steps=10, warmup_steps=0)
+    state = t_img.init_state(jax.random.PRNGKey(0), batch_img)
+
+    cache = build_tower_cache(model, state.params, ds_ids.item_image, 16,
+                              chunk=8)
+    assert tower_cache_bytes(16, cfg) >= cache.nbytes  # f32 accounting
+    t_ids = mk_trainer(cache)
+    t_ids.optimizer = t_img.optimizer
+
+    # train_step donates the state: give each trainer its own copy
+    state2 = jax.tree.map(
+        lambda x: jnp.copy(x) if hasattr(x, "shape") else x, state
+    )
+    s_img, m_img = t_img.train_step(state, batch_img)
+    s_ids, m_ids = t_ids.train_step(state2, batch_ids)
+    np.testing.assert_allclose(float(m_img["loss"]), float(m_ids["loss"]),
+                               rtol=1e-6)
+    mask = t_img.resolve_mask(s_img.params)
+    flat_img = jax.tree_util.tree_flatten_with_path(s_img.params)[0]
+    flat_ids = dict(
+        ("/".join(str(k) for k in kp), v)
+        for kp, v in jax.tree_util.tree_flatten_with_path(s_ids.params)[0]
+    )
+    for kp, v in flat_img:
+        key = "/".join(str(k) for k in kp)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_ids[key]), rtol=2e-5, atol=2e-6,
+            err_msg=key,
+        )

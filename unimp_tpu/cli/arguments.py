@@ -81,6 +81,15 @@ def build_parser(eval_only: bool = False) -> argparse.ArgumentParser:
                    help="store frozen matmul kernels weight-only int8 "
                         "(4x less HBM than f32; checkpoints still save "
                         "as float trees)")
+    p.add_argument("--cache_vision_latents", default=False,
+                   action="store_true",
+                   help="precompute the FROZEN CLIP tower's features per "
+                        "item once and stream image ids during training "
+                        "(train/vision_cache.py) — the tower forward "
+                        "(~20%% of the reference-shape step FLOPs) and "
+                        "the per-batch image upload leave the hot loop; "
+                        "requires the frozen backbone and ~526 KB/item "
+                        "HBM at CLIP-L/14 @224")
     p.add_argument("--bf16_opt_state", default=False, action="store_true",
                    help="store gradients and both Adam moments in bf16 "
                         "(f32 master weights kept) — fits 3B-class "

@@ -92,10 +92,13 @@ def make_dataset(args, tokenizer, split: str, task=None) -> TaskDataset:
     if task == "img_gen" and getattr(args, "img_gen_mode", "retrieve") == "pretrain":
         task = "img_gen_pretrain"
     # eval batches carry item ids; images are encoded once into a
-    # device-side latent cache (evals/latent_cache.py)
-    load_images = split == "train" or getattr(
-        args, "no_eval_latent_cache", False
-    )
+    # device-side latent cache (evals/latent_cache.py). Train batches
+    # do the same under --cache_vision_latents (frozen-tower feature
+    # cache, train/vision_cache.py).
+    if split == "train":
+        load_images = not getattr(args, "cache_vision_latents", False)
+    else:
+        load_images = getattr(args, "no_eval_latent_cache", False)
     return TaskDataset(
         args.mmrec_path,
         args.subset,

@@ -46,6 +46,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--coco_manifest", type=str, default=None)
     p.add_argument("--eval_vqa", action="store_true")
     p.add_argument("--vqa_manifest", type=str, default=None)
+    p.add_argument("--eval_ok_vqa", action="store_true")
+    p.add_argument("--ok_vqa_manifest", type=str, default=None)
     p.add_argument("--eval_imagenet", action="store_true")
     p.add_argument("--imagenet_manifest", type=str, default=None)
     p.add_argument("--imagenet_classes", type=str, default=None,
@@ -105,6 +107,21 @@ def main(argv=None) -> dict:
             ]
             results[f"vqa_accuracy_shots_{shots}"] = sum(scores) / len(scores)
             print(f"vqa shots={shots} acc={results[f'vqa_accuracy_shots_{shots}']:.3f}")
+    if args.eval_ok_vqa:
+        assert args.ok_vqa_manifest, (
+            "--ok_vqa_manifest required with --eval_ok_vqa")
+        for shots in args.shots:
+            scores = [
+                bh.evaluate_vqa(
+                    model, params, tokenizer, args.ok_vqa_manifest,
+                    num_shots=shots, image_size=args.image_size,
+                    limit=args.num_samples, seed=seed, ok_vqa=True,
+                )["vqa_accuracy"]
+                for seed in args.trial_seeds
+            ]
+            results[f"ok_vqa_accuracy_shots_{shots}"] = sum(scores) / len(scores)
+            print(f"ok_vqa shots={shots} "
+                  f"acc={results[f'ok_vqa_accuracy_shots_{shots}']:.3f}")
     if args.eval_imagenet:
         assert args.imagenet_manifest and args.imagenet_classes, (
             "--imagenet_manifest and --imagenet_classes required")

@@ -281,6 +281,29 @@ def main(argv=None):
             )
             resume_epoch = int(payload["epoch"]) + 1
 
+    if args.cache_vision_latents:
+        # built AFTER any checkpoint/torch restore — the features are a
+        # function of the live (frozen) tower params
+        if args.unfreeze_backbone:
+            raise SystemExit(
+                "--cache_vision_latents requires the frozen tower "
+                "(drop --unfreeze_backbone)")
+        from unimp_tpu.train.vision_cache import build_tower_cache
+
+        cache = build_tower_cache(
+            model, state.params, train_ds.item_image, train_ds.n_items,
+            progress=lambda s: None,
+        )
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            cache = jax.device_put(
+                cache, NamedSharding(mesh, PartitionSpec()))
+        trainer.vision_cache = cache
+        logger.print(
+            f"vision tower cache: {train_ds.n_items} items, "
+            f"{cache.nbytes / 2**20:.0f} MiB on device")
+
     timer = StepTimer()
     for epoch in range(resume_epoch, args.num_epochs):
         if args.train_method == "continue":

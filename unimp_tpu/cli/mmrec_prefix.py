@@ -134,6 +134,22 @@ def main(argv=None):
         state = state.replace(params=jax.device_put(
             merged, jax.tree.map(lambda x: x.sharding, state.params)))
 
+    if args.cache_vision_latents:
+        # transfer freezes the tower too (mmrec_prefix.py:631 semantics);
+        # build the per-item feature cache from the LIVE (restored) params
+        from unimp_tpu.train.vision_cache import build_tower_cache
+
+        cache = build_tower_cache(
+            model, state.params, train_ds.item_image, train_ds.n_items)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            cache = jax.device_put(
+                cache, NamedSharding(mesh, PartitionSpec()))
+        trainer.vision_cache = cache
+        logger.print(f"vision tower cache: {train_ds.n_items} items, "
+                     f"{cache.nbytes / 2**20:.0f} MiB on device")
+
     timer = StepTimer()
     for epoch in range(args.num_epochs):
         state = train_one_epoch(

@@ -202,9 +202,15 @@ def render_mimicit_sample(store: Dict[str, dict], sample_id: str,
     """Dispatch a MIMIC-IT sample to its per-source processor by id prefix
     (unify_dataset.py:418-443; max_src/max_tgt fixed at 256 there).
     Returns None for unknown prefixes so callers can fall back to the
-    generic renderer."""
+    generic renderer — and likewise when any record in the chain lacks
+    image_ids: the prefixes are bare strings, so a non-MIMIC-IT dataset
+    whose ids merely start with "LA"/"DC"/... must not be routed into
+    processors that index image_ids[0] unconditionally."""
     for prefix, fn in _SOURCE_PROCESSORS:
         if sample_id.startswith(prefix):
+            chain = list(in_context_ids) + [sample_id]
+            if any(not store[sid].get("image_ids") for sid in chain):
+                return None
             return fn(store, sample_id, in_context_ids, rng,
                       max_src=max_src, max_tgt=max_tgt)
     return None

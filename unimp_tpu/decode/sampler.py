@@ -134,7 +134,11 @@ class Generator:
             # a >1-device mesh Pallas has no SPMD rule, so warn that
             # kv_int8 is a memory lever only there.
             if self.attn_impl is None:
-                self.attn_impl = "pallas"
+                # ... and only on a real TPU backend: elsewhere "pallas"
+                # means interpret mode (orders of magnitude slower than
+                # the XLA path); CPU/GPU keep XLA, int8 = memory lever.
+                if jax.default_backend() == "tpu":
+                    self.attn_impl = "pallas"
             else:
                 import warnings
 

@@ -94,21 +94,16 @@ def cider_d(predictions: List[str], references: List[List[str]],
 
 # ----------------------------- VQA accuracy -----------------------------
 
-
-_ARTICLES = {"a", "an", "the"}
-
-
-def _vqa_normalize(s: str) -> str:
-    s = s.lower().strip().rstrip(".")
-    words = [w for w in re.findall(r"\w+", s) if w not in _ARTICLES]
-    return " ".join(words)
-
-
-def vqa_accuracy(prediction: str, answers: List[str]) -> float:
-    """Official VQA rule: min(matches/3, 1) over human answers."""
-    pred = _vqa_normalize(prediction)
-    matches = sum(1 for a in answers if _vqa_normalize(a) == pred)
-    return min(matches / 3.0, 1.0)
+# Official VQA normalization + accuracy protocol (contractions table,
+# number-word map, punctuation/digit-article passes on prediction AND
+# answers, leave-one-out consensus) and the OK-VQA stemmer — see
+# unimp_tpu/evals/vqa_normalize.py for the full pipeline and its
+# reference citations (vqa_metric.py:218-470, ok_vqa_utils.py:1-214).
+from unimp_tpu.evals.vqa_normalize import (  # noqa: F401  (re-exports)
+    postprocess_ok_vqa_generation,
+    postprocess_vqa_generation,
+    vqa_accuracy,
+)
 
 
 # ----------------------------- harness loops -----------------------------
@@ -175,9 +170,13 @@ def evaluate_captioning(
 def evaluate_vqa(
     model, params, tokenizer, manifest_path: str, *,
     num_shots: int = 0, image_size: int = 224, max_new_tokens: int = 8,
-    limit: Optional[int] = None, seed: int = 0,
+    limit: Optional[int] = None, seed: int = 0, ok_vqa: bool = False,
 ) -> Dict[str, float]:
-    """manifest: [{"image", "question", "answers": [str, ...]}, ...]."""
+    """manifest: [{"image", "question", "answers": [str, ...]}, ...].
+
+    ok_vqa=True applies the OK-VQA stemmer to the prediction (the
+    reference routes OK-VQA generations through
+    postprocess_ok_vqa_generation, evaluate.py:232-260)."""
     import jax.numpy as jnp
 
     from unimp_tpu.decode import GenerationConfig, Generator
@@ -209,6 +208,8 @@ def evaluate_vqa(
             jnp.asarray([len(ids)], jnp.int32), latents,
         )
         pred = tokenizer.decode(np.asarray(toks)[0, 0])
+        pred = (postprocess_ok_vqa_generation(pred) if ok_vqa
+                else postprocess_vqa_generation(pred))
         accs.append(vqa_accuracy(pred, rec["answers"]))
     return {"vqa_accuracy": float(np.mean(accs)) if accs else 0.0, "n": len(accs)}
 

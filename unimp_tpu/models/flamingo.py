@@ -153,6 +153,28 @@ class UniMPModel(nn.Module):
         lat = self.resampler(feats)  # [B*M, L, Dv]
         return lat.reshape(b, m, lat.shape[1], lat.shape[2])
 
+    def encode_vision_tower(self, vision_x: jax.Array) -> jax.Array:
+        """FROZEN half of encode_vision: [B, M, H, W, 3] -> ViT patch
+        features [B, M, P, Dv], STOPPING before the (trainable)
+        perceiver. Item images are static and the tower is frozen in
+        the reference protocol (open_flamingo factory requires_grad_,
+        /root/reference/UniMP/mmrec.py:475-524), so these features are
+        constant across epochs — train/vision_cache.py precomputes them
+        per item and the train step gathers instead of re-encoding."""
+        b, m = vision_x.shape[:2]
+        flat = vision_x.reshape((b * m,) + vision_x.shape[2:])
+        feats = self.vision(flat)  # [B*M, P, Dv]
+        return feats.reshape(b, m, feats.shape[1], feats.shape[2])
+
+    def resample_tower(self, tower_feats: jax.Array) -> jax.Array:
+        """TRAINABLE half: tower features [B, M, P, Dv] -> resampled
+        media latents [B, M, L, Dv]. encode_vision == resample_tower
+        (encode_vision_tower (x))."""
+        b, m = tower_feats.shape[:2]
+        flat = tower_feats.reshape((b * m,) + tower_feats.shape[2:])
+        lat = self.resampler(flat)
+        return lat.reshape(b, m, lat.shape[1], lat.shape[2])
+
     def _logits(self, x):
         x = self.final_ln(x)
         # MXU-friendly: bf16 operands with f32 accumulation (the pure-f32
@@ -182,6 +204,7 @@ class UniMPModel(nn.Module):
         *,
         latents: Optional[jax.Array] = None,
         vision_x: Optional[jax.Array] = None,
+        tower_x: Optional[jax.Array] = None,
         q_media: Optional[jax.Array] = None,
         kv_len: Optional[jax.Array] = None,
         kv_start: Optional[jax.Array] = None,
@@ -235,6 +258,11 @@ class UniMPModel(nn.Module):
         # ---------- full / prefill ----------
         if latents is None and vision_x is not None:
             latents = self.encode_vision(vision_x)
+        elif latents is None and tower_x is not None:
+            # cached-vision training: frozen ViT features arrive
+            # precomputed (train/vision_cache.py); only the trainable
+            # perceiver runs in-step
+            latents = self.resample_tower(tower_x)
 
         latents_flat = kv_media = None
         if latents is not None:

@@ -294,11 +294,13 @@ def decode_attention(
         # forces full-width.
         env = os.environ.get("UNIMP_DECODE_GEN_CHUNK")
         if env is not None:
+            # explicit pin: honored verbatim (clamped to g below) — only
+            # the auto heuristic downgrades narrow caches to full-width
             gen_chunk = int(env)
         else:
             gen_chunk = 16 if g > 128 else 0
-        if gen_chunk and g < 2 * gen_chunk:
-            gen_chunk = 0
+            if gen_chunk and g < 2 * gen_chunk:
+                gen_chunk = 0
     if gen_chunk:
         gen_chunk = min(gen_chunk, g)
         if beam_sel is not None:

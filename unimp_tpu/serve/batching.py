@@ -76,8 +76,13 @@ class BatchedStreamingEngine:
         # per step (measured ~25% slower at 4b, benchmarks/RESULTS.md),
         # so kv_int8 pins the Pallas decode impl for the wave programs.
         self.kv_int8 = kv_int8
+        import jax
+
+        # TPU-only auto-pin: elsewhere "pallas" selects interpret mode
+        # (orders of magnitude slower); explicit UNIMP_DECODE_IMPL wins.
         self.attn_impl = (
-            "pallas" if kv_int8 and not os.environ.get("UNIMP_DECODE_IMPL")
+            "pallas" if (kv_int8 and not os.environ.get("UNIMP_DECODE_IMPL")
+                         and jax.default_backend() == "tpu")
             else None
         )
         self._inbox: "queue.Queue" = queue.Queue()

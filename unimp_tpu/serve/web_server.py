@@ -7,7 +7,34 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Callable, Optional
+
+from unimp_tpu.serve.constants import MODERATION_MSG, STREAM_DELIMITER
+
+
+def violates_moderation(text: str, *, url: Optional[str] = None,
+                        timeout: float = 25.0) -> bool:
+    """Reference moderation check (serving_utils.py:108-129): POST the
+    text to an OpenAI-moderations-shaped endpoint, flag on
+    results[0].flagged, FAIL OPEN on any transport/shape error. The
+    endpoint is injectable (url arg / UNIMP_MODERATION_URL) since this
+    framework carries no OpenAI dependency."""
+    import requests
+
+    url = url or os.environ.get("UNIMP_MODERATION_URL",
+                                "https://api.openai.com/v1/moderations")
+    headers = {
+        "Content-Type": "application/json",
+        "Authorization": "Bearer " + os.environ.get("OPENAI_API_KEY", ""),
+    }
+    data = json.dumps({"input": text.replace("\n", "")}).encode("utf-8")
+    try:
+        ret = requests.post(url, headers=headers, data=data, timeout=timeout)
+        return bool(ret.json()["results"][0]["flagged"])
+    except Exception:
+        return False
 
 _PAGE = """<!doctype html>
 <html><head><meta charset="utf-8"><title>UniMP-TPU</title>
@@ -79,7 +106,13 @@ document.getElementById('msg').addEventListener('keydown',
 </script></body></html>"""
 
 
-def make_handler(controller_addr: str):
+def make_handler(controller_addr: str,
+                 moderation_fn: Optional[Callable[[str], bool]] = None):
+    """moderation_fn: called with the user prompt before dispatch; a
+    truthy return short-circuits generation with MODERATION_MSG (the
+    reference gates add_text the same way under --moderate,
+    gradio_web_server.py:216-230)."""
+
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, *a):
             pass
@@ -110,6 +143,14 @@ def make_handler(controller_addr: str):
                 self.send_response(200)
                 self.send_header("Content-Type", "application/octet-stream")
                 self.end_headers()
+                if moderation_fn is not None and moderation_fn(
+                        req.get("prompt", "")):
+                    chunk = json.dumps(
+                        {"text": MODERATION_MSG, "error_code": 1}
+                    ).encode() + STREAM_DELIMITER
+                    self.wfile.write(chunk)
+                    self.wfile.flush()
+                    return
                 with requests.post(
                     controller_addr + "/worker_generate_stream", json=req,
                     stream=True, timeout=900,
@@ -130,9 +171,16 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=7860)
     p.add_argument("--controller-address", default="http://localhost:21001")
+    p.add_argument("--moderate", action="store_true",
+                   help="gate user input through the moderation endpoint "
+                        "(reference gradio_web_server.py --moderate; "
+                        "endpoint via UNIMP_MODERATION_URL)")
     args = p.parse_args(argv)
     server = ThreadingHTTPServer(
-        (args.host, args.port), make_handler(args.controller_address)
+        (args.host, args.port),
+        make_handler(args.controller_address,
+                     moderation_fn=violates_moderation if args.moderate
+                     else None),
     )
     print(f"[web] http://{args.host}:{args.port}")
     server.serve_forever()

@@ -211,9 +211,10 @@ def llava_instructions_from_conversations(
                     ],
                 }
         else:
+            # duplicate source ids: LAST occurrence wins — the reference's
+            # dedup check tests the top-level {meta,data} dict (a no-op),
+            # so later rows overwrite earlier ones there too.
             ins_id = f"{prefix}_00_INS_{rec['id']}"
-            if ins_id in data:
-                continue
             rel = ([f"{prefix}_00_INS_{p}"
                     for p in (similarity or {}).get(str(rec["id"]), [])])
             data[ins_id] = {

@@ -57,6 +57,7 @@ class Trainer:
         frozen_dtype=None,
         grad_dtype=None,
         accum_steps: int = 1,
+        vision_cache=None,
     ):
         self.model = model
         self.optimizer = optimizer
@@ -95,7 +96,27 @@ class Trainer:
         # alone exceeds HBM, while this path costs the same memory as
         # accum_steps=1.
         self.accum_steps = accum_steps
+        # vision_cache: device array [n_items, P, Dv] of FROZEN ViT
+        # tower features (train/vision_cache.py). When set, batches
+        # carry "image_ids" [B, M] instead of "images" and the step
+        # gathers rows + runs only the trainable perceiver — the tower
+        # forward (~20% of refshape FLOPs) leaves the hot loop. Constant
+        # w.r.t. training because the tower is frozen and the transform
+        # is deterministic (reference protocol, mmrec.py:475-524,
+        # rec_dataset.py:90-107).
+        self.vision_cache = vision_cache
         self._step_fn = None
+
+    def _init_images(self, sample_batch):
+        """Vision input for param init. Cached-vision batches carry
+        "image_ids" only, but the param TREE must still include the
+        (frozen) tower — it builds the cache and lives in checkpoints —
+        so init synthesizes a single dummy image at the config size."""
+        if "images" in sample_batch:
+            return jnp.asarray(sample_batch["images"])
+        b = int(np.asarray(sample_batch["input_ids"]).shape[0])
+        s = self.model.cfg.vision.image_size
+        return jnp.zeros((b, 1, s, s, 3), jnp.uint8)
 
     def resolve_mask(self, abstract_params):
         """Concrete bool pytree (or None) for a given param structure."""
@@ -127,7 +148,7 @@ class Trainer:
         initialize on chips with 16 GB HBM each.
         """
         ids = jnp.asarray(sample_batch["input_ids"])
-        images = jnp.asarray(sample_batch["images"])
+        images = self._init_images(sample_batch)
 
         def init_fn(rng, ids, images):
             q_media = compute_q_media(ids, self.ids["media"])
@@ -195,7 +216,7 @@ class Trainer:
         if getattr(self, "_abstract_cache", None) is not None:
             return self._abstract_cache
         ids = jnp.asarray(sample_batch["input_ids"])
-        images = jnp.asarray(sample_batch["images"])
+        images = self._init_images(sample_batch)
 
         def init_fn(rng, ids, images):
             q_media = compute_q_media(ids, self.ids["media"])
@@ -210,27 +231,32 @@ class Trainer:
 
     # ---------------- step ----------------
 
-    def _loss_fn(self, params, batch):
+    def _loss_fn(self, params, batch, vision_cache=None):
         ids = batch["input_ids"]
         labels = answer_span_labels(
             ids, self.ids["answer"], self.ids["eoc"], self.ids["media"],
             self.ids["pad"],
         )
-        vision = normalize_on_device(batch["images"])
         q_media = compute_q_media(ids, self.ids["media"])
+        if vision_cache is not None and "image_ids" in batch:
+            # cached frozen-tower features: gather instead of encode
+            tower = jnp.take(vision_cache, batch["image_ids"], axis=0)
+            media_kw = dict(tower_x=tower)
+        else:
+            media_kw = dict(vision_x=normalize_on_device(batch["images"]))
         logits, _ = self.model.apply(
             {"params": params},
             ids,
-            vision_x=vision,
             q_media=q_media,
             kv_len=batch["seq_len"],
+            **media_kw,
         )
         return masked_focal_loss(
             logits, labels, batch["weights"], self.gamma, self.use_reweight
         )
 
     def _make_step(self):
-        def step(state: TrainState, batch):
+        def step(state: TrainState, batch, vcache):
             mask = self.resolve_mask(state.params)
             if mask is None:
                 t_params, f_params = state.params, None
@@ -239,7 +265,8 @@ class Trainer:
                 t_params, f_params = partition_params(state.params, mask)
                 merge = lambda t: merge_params(t, f_params)  # noqa: E731
             grad_fn = jax.value_and_grad(
-                lambda t, mb: self._loss_fn(merge(t), mb), has_aux=True
+                lambda t, mb: self._loss_fn(merge(t), mb, vcache),
+                has_aux=True,
             )
             accum = self.accum_steps
             if accum > 1:
@@ -317,11 +344,11 @@ class Trainer:
         if self._step_fn is None:
             self._step_fn = self._make_step()
         device_batch = self._device_batch(batch)
-        return self._step_fn(state, device_batch)
+        return self._step_fn(state, device_batch, self.vision_cache)
 
     def _device_batch(self, batch: dict) -> dict:
-        keep = ("input_ids", "seq_len", "weights", "images")
-        out = {k: np.asarray(batch[k]) for k in keep}
+        keep = ("input_ids", "seq_len", "weights", "images", "image_ids")
+        out = {k: np.asarray(batch[k]) for k in keep if k in batch}
         if self.mesh is not None:
             shard = batch_sharding(self.mesh)
             out = {k: jax.device_put(v, shard) for k, v in out.items()}

@@ -115,7 +115,8 @@ def resampler_forward_flops(cfg, n_images: int) -> float:
 
 
 def train_step_flops(cfg, batch: int, seq: int, images_per_sample: int,
-                     frozen_backbone: bool = False) -> float:
+                     frozen_backbone: bool = False,
+                     cached_vision: bool = False) -> float:
     """Matmul FLOPs for one train step.
 
     Full model: 3x forward (fwd + dX + dW). With the reference's
@@ -131,7 +132,10 @@ def train_step_flops(cfg, batch: int, seq: int, images_per_sample: int,
     lm_f = lm_forward_flops(cfg, batch, seq, with_logits=False)
     logits_f = _dense(batch * seq, cfg.lm.hidden_size, cfg.lm.vocab_size)
     x_f = xattn_forward_flops(cfg, batch, seq, n_lat)
-    vis_f = vision_forward_flops(cfg, n_img)
+    # cached_vision (train/vision_cache.py): the frozen tower's features
+    # arrive precomputed — its forward is not part of the step's model
+    # FLOPs (requires frozen_backbone; the tower never trains there)
+    vis_f = 0.0 if cached_vision else vision_forward_flops(cfg, n_img)
     res_f = resampler_forward_flops(cfg, n_img)
     if not frozen_backbone:
         return 3.0 * (lm_f + logits_f + x_f + vis_f + res_f)
