@@ -260,9 +260,9 @@ def flagship_fields():
     try:
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "benchmarks", "records",
-                               "serve_small_v5e.json")) as f:
+                               "serve_4b_v5e.json")) as f:
             srv = json.load(f)
-        out["serve_tokens_per_sec"] = srv.get("value")
+        out["serve_tokens_per_sec_4b"] = srv.get("value")
         out["serve_speedup_vs_per_request"] = srv.get(
             "speedup_vs_per_request")
     except Exception:
