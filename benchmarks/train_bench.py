@@ -139,15 +139,31 @@ def main():
         # a reliable sync point on the remote-tunnel TPU platform)
         state, m = trainer.train_step(state, sample)
         float(m["loss"])
+
+        # BENCH_DEVICE_PREFETCH=1: double-buffer host->device transfers
+        # (data/loader.py prefetch_to_device — the CLI train loop's
+        # default); data_time is the torch-convention blocked-on-input
+        # time (utils/profiling.py StepTimer, mmrec.py:99-105)
+        device_prefetch = os.environ.get("BENCH_DEVICE_PREFETCH", "") == "1"
+
+        def batches():
+            while True:
+                for b in dl:
+                    yield b
+
+        if device_prefetch:
+            from unimp_tpu.data.loader import prefetch_to_device
+
+            it = prefetch_to_device(batches(), trainer.device_batch)
+        else:
+            it = batches()
         t0 = time.perf_counter()
-        it = iter(dl)
         done = 0
+        data_s = 0.0
         for _ in range(steps):
-            try:
-                b = next(it)
-            except StopIteration:
-                it = iter(dl)
-                b = next(it)
+            td = time.perf_counter()
+            b = next(it)
+            data_s += time.perf_counter() - td
             state, m = trainer.train_step(state, b)
             done += batch * accum
         float(m["loss"])
@@ -172,6 +188,9 @@ def main():
         "image_size": cfg.vision.image_size,
         "loss": float(m["loss"]),
         "step_time_ms": round(dt / steps * 1e3, 1),
+        "data_time_ms": round(data_s / steps * 1e3, 1),
+        "data_time_share": round(data_s / dt, 4),
+        "device_prefetch": device_prefetch,
         "model_tflops_per_step": round(step_flops / 1e12, 3),
         "mfu": round(flops_per_sec / peak, 4),
         "peak_tflops": peak / 1e12,

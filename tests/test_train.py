@@ -635,3 +635,45 @@ def test_cached_vision_step_matches_image_step(setup, tmp_path):
             np.asarray(v), np.asarray(flat_ids[key]), rtol=2e-5, atol=2e-6,
             err_msg=key,
         )
+
+
+def test_prefetch_to_device_matches_plain_path(setup):
+    """Device-side double buffering (data/loader.py prefetch_to_device +
+    Trainer.device_batch) yields batches in order, already transferred,
+    and train_step produces the same loss as the host-batch path."""
+    from unimp_tpu.data.loader import prefetch_to_device
+
+    tok, model, dl = setup
+    trainer = Trainer(
+        model, optimizer=None, media_id=tok.media_token_id,
+        answer_id=tok.answer_token_id,
+        endofchunk_id=tok.endofchunk_token_id, pad_id=tok.pad_token_id,
+        use_reweight=True,
+    )
+    batch = next(iter(dl))
+    t_abs = trainer.abstract_params(batch)
+    trainer.optimizer = make_optimizer(
+        t_abs, learning_rate=1e-3, lr_scheduler="constant",
+        total_steps=10, warmup_steps=0)
+    state = trainer.init_state(jax.random.PRNGKey(0), batch)
+    state2 = jax.tree.map(
+        lambda x: jnp.copy(x) if hasattr(x, "shape") else x, state
+    )
+
+    # ordering: the wrapper must preserve the loader's batch order
+    seen = list(prefetch_to_device(iter([{"input_ids": np.full((1,), i)}
+                                         for i in range(5)]),
+                                   trainer.device_batch))
+    assert [int(b["input_ids"][0]) for b in seen] == list(range(5))
+    assert all(isinstance(b["input_ids"], jax.Array) for b in seen)
+
+    # same materialized batch through both paths (TaskDataset prompt
+    # sampling advances an RNG, so two loader passes differ by design)
+    it = prefetch_to_device(iter([batch]), trainer.device_batch)
+    pre = next(it)
+    assert isinstance(pre["input_ids"], jax.Array)  # already on device
+    assert "tasks" not in pre  # host-only keys filtered by device_batch
+    _, m_pre = trainer.train_step(state, pre)
+    _, m_host = trainer.train_step(state2, batch)
+    np.testing.assert_allclose(float(m_pre["loss"]), float(m_host["loss"]),
+                               rtol=1e-6)

@@ -26,9 +26,15 @@ from unimp_tpu.utils import MetricLogger, StepTimer, maybe_trace
 
 
 def train_one_epoch(args, trainer, state, loader, epoch, logger, timer):
+    from unimp_tpu.data.loader import prefetch_to_device
+
     loader.set_epoch(epoch)
     num_batches = len(loader)
-    for step_idx, batch in enumerate(loader):
+    # device-side double buffering: batch N+1's host->device copy rides
+    # under batch N's compute (the reference's pin_memory + CUDA async
+    # H2D; jax.device_put is the TPU equivalent)
+    batches = prefetch_to_device(iter(loader), trainer.device_batch)
+    for step_idx, batch in enumerate(batches):
         timer.data_loaded()
         state, metrics = trainer.train_step(state, batch)
         timer.step_done()

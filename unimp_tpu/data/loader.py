@@ -147,3 +147,29 @@ class DataLoader:
                 yield item
         finally:
             stop.set()
+
+
+def prefetch_to_device(iterator, put_fn, size: int = 2):
+    """Device-side double buffering over a host batch iterator.
+
+    Eagerly issues ``put_fn`` (an async jax.device_put-style transfer,
+    e.g. ``Trainer.device_batch``) for up to ``size`` upcoming batches so
+    the host->device copy of batch N+1 rides under batch N's compute.
+    The reference relies on torch DataLoader ``pin_memory`` + CUDA async
+    H2D for the same overlap; on TPU the transfer is queued by
+    jax.device_put and materializes when the next step consumes it.
+
+    ``size=2`` is classic double buffering: one batch being consumed,
+    one in flight. Device-side cost is ``size`` extra input batches of
+    HBM (uint8 images keep this small — data/transforms.py
+    normalize_on_device).
+    """
+    import collections
+
+    buf: "collections.deque" = collections.deque()
+    for item in iterator:
+        buf.append(put_fn(item))
+        if len(buf) >= size:
+            yield buf.popleft()
+    while buf:
+        yield buf.popleft()

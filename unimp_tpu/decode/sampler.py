@@ -127,12 +127,15 @@ class Generator:
             else None
         )
         if gen_cfg.kv_int8 and not os.environ.get("UNIMP_DECODE_IMPL"):
-            # int8 caches only pay under the fused Pallas kernels (dequant
-            # stays in VMEM); under XLA the dequantized cache copies
-            # materialize each step — measured ~25% SLOWER at 4b
-            # (benchmarks/RESULTS.md). Pin Pallas on a single device; under
-            # a >1-device mesh Pallas has no SPMD rule, so warn that
-            # kv_int8 is a memory lever only there.
+            # kv_int8 is a MEMORY lever, not a throughput one: even under
+            # the fused Pallas kernels on the split cache layout it
+            # measured 8.20 vs 14.92 items/s at 4b batch 16
+            # (records/eval_4b_kvint8_split_v5e.json, 2026-08-20) — the
+            # per-step dequant costs more than the halved bytes save.
+            # Pallas (dequant in VMEM) is still the least-bad impl for it
+            # on a single device; under XLA the dequantized cache copies
+            # materialize each step (slower again). Under a >1-device
+            # mesh Pallas has no SPMD rule, so warn.
             if self.attn_impl is None:
                 # ... and only on a real TPU backend: elsewhere "pallas"
                 # means interpret mode (orders of magnitude slower than

@@ -343,13 +343,25 @@ class Trainer:
     def train_step(self, state: TrainState, batch: dict):
         if self._step_fn is None:
             self._step_fn = self._make_step()
-        device_batch = self._device_batch(batch)
-        return self._step_fn(state, device_batch, self.vision_cache)
+        if not isinstance(batch.get("input_ids"), jax.Array):
+            batch = self.device_batch(batch)
+        return self._step_fn(state, batch, self.vision_cache)
 
-    def _device_batch(self, batch: dict) -> dict:
+    def device_batch(self, batch: dict) -> dict:
+        """Issue (async) host->device transfers for the step's inputs.
+
+        jax.device_put returns immediately with the copy in flight, so
+        feeding train_step through data.loader.prefetch_to_device with
+        this as put_fn overlaps the next batch's host->device transfer
+        with the current step's compute (double buffering). train_step
+        detects an already-transferred batch and skips the re-put.
+        """
         keep = ("input_ids", "seq_len", "weights", "images", "image_ids")
         out = {k: np.asarray(batch[k]) for k in keep if k in batch}
         if self.mesh is not None:
             shard = batch_sharding(self.mesh)
-            out = {k: jax.device_put(v, shard) for k, v in out.items()}
-        return out
+            return {k: jax.device_put(v, shard) for k, v in out.items()}
+        return {k: jax.device_put(v) for k, v in out.items()}
+
+    # back-compat alias (benchmarks/train_profile.py)
+    _device_batch = device_batch
