@@ -26,14 +26,23 @@ from unimp_tpu.utils import MetricLogger, StepTimer, maybe_trace
 
 
 def train_one_epoch(args, trainer, state, loader, epoch, logger, timer):
-    from unimp_tpu.data.loader import prefetch_to_device
-
     loader.set_epoch(epoch)
     num_batches = len(loader)
-    # device-side double buffering: batch N+1's host->device copy rides
-    # under batch N's compute (the reference's pin_memory + CUDA async
-    # H2D; jax.device_put is the TPU equivalent)
-    batches = prefetch_to_device(iter(loader), trainer.device_batch)
+    # No explicit device-side double buffering: jax's async dispatch
+    # already overlaps batch N+1's host->device copy with step N's
+    # compute (the loop enqueues ahead), and the host input pipeline is
+    # not the bound — measured at the reference training shape with real
+    # JPEG decode: data_time 9.3 ms of a 396.5 ms step (2.4%); explicit
+    # prefetch_to_device measured SLOWER both inline (423 ms) and
+    # threaded (443 ms) from tunnel/thread contention
+    # (benchmarks/records/train_3b-mpt_refshape_datatime_v5e.json).
+    # UNIMP_DEVICE_PREFETCH=1 opts in (data/loader.py prefetch_to_device)
+    # for hosts where the transfer is the bound.
+    batches = iter(loader)
+    if os.environ.get("UNIMP_DEVICE_PREFETCH", "") == "1":
+        from unimp_tpu.data.loader import prefetch_to_device
+
+        batches = prefetch_to_device(batches, trainer.device_batch)
     for step_idx, batch in enumerate(batches):
         timer.data_loaded()
         state, metrics = trainer.train_step(state, batch)

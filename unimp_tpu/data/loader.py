@@ -152,24 +152,34 @@ class DataLoader:
 def prefetch_to_device(iterator, put_fn, size: int = 2):
     """Device-side double buffering over a host batch iterator.
 
-    Eagerly issues ``put_fn`` (an async jax.device_put-style transfer,
-    e.g. ``Trainer.device_batch``) for up to ``size`` upcoming batches so
-    the host->device copy of batch N+1 rides under batch N's compute.
-    The reference relies on torch DataLoader ``pin_memory`` + CUDA async
-    H2D for the same overlap; on TPU the transfer is queued by
-    jax.device_put and materializes when the next step consumes it.
+    Runs ``put_fn`` (a jax.device_put-style transfer, e.g.
+    ``Trainer.device_batch``) in a background thread for up to ``size``
+    upcoming batches so the host->device copy of batch N+1 rides under
+    batch N's compute. The reference relies on torch DataLoader
+    ``pin_memory`` + CUDA async H2D for the same overlap.
 
-    ``size=2`` is classic double buffering: one batch being consumed,
-    one in flight. Device-side cost is ``size`` extra input batches of
-    HBM (uint8 images keep this small — data/transforms.py
-    normalize_on_device).
+    OPT-IN (UNIMP_DEVICE_PREFETCH=1 in the CLI), not the default: jax's
+    async dispatch already overlaps the next batch's H2D copy with the
+    current step's compute, so on the remote-tunnel TPU this wrapper
+    measured SLOWER at the reference training shape — 396.5 ms/step
+    plain vs 423 inline / 443 threaded, with the put surfacing as
+    blocked-on-input time (records/train_3b-mpt_refshape_datatime_v5e.json).
+    It exists for hosts where dispatch does NOT overlap the copy.
+
+    The transfer runs off-thread (jax releases the GIL during the copy)
+    so it can ride under the main thread's step dispatch. ``size=2`` is
+    classic double buffering: one batch being consumed, one in flight.
+    Device-side cost is ``size`` extra input batches of HBM (uint8
+    images keep this small — data/transforms.py normalize_on_device).
     """
     import collections
+    from concurrent.futures import ThreadPoolExecutor
 
     buf: "collections.deque" = collections.deque()
-    for item in iterator:
-        buf.append(put_fn(item))
-        if len(buf) >= size:
-            yield buf.popleft()
-    while buf:
-        yield buf.popleft()
+    with ThreadPoolExecutor(1) as pool:
+        for item in iterator:
+            buf.append(pool.submit(put_fn, item))
+            if len(buf) >= size:
+                yield buf.popleft().result()
+        while buf:
+            yield buf.popleft().result()
