@@ -184,6 +184,40 @@ def test_batched_engine_single_request_and_sampling(tiny_worker):
     engine.stop()
 
 
+def test_engine_failure_surfaces_as_error_not_text(tiny_worker):
+    """A wave-level failure (compile OOM, device error) must reach the
+    client as an error chunk, NOT as generation text: jax error strings
+    are kilobytes long, and a benchmark that can't tell them from tokens
+    reports garbage throughput (observed at 16 slots x 4b on v5e —
+    records/serve_4b_c16_v5e.json). EngineError propagates out of
+    stream(), and ModelWorker.generate_stream converts it to
+    error_code=1 (reference worker error-chunk semantics)."""
+    import pytest as _pytest
+
+    from unimp_tpu.serve.batching import BatchedStreamingEngine, EngineError
+
+    model, params, tok = (tiny_worker.model, tiny_worker.params,
+                          tiny_worker.tokenizer)
+    engine = BatchedStreamingEngine(model, tok, max_slots=2,
+                                    max_new_tokens=4, wave_window_ms=1)
+    engine._run_wave = lambda reqs: (_ for _ in ()).throw(
+        RuntimeError("RESOURCE_EXHAUSTED: out of memory " + "x" * 4096))
+    with _pytest.raises(EngineError):
+        list(engine.stream(params, "hello", max_new_tokens=4))
+    engine.stop()
+
+    worker = ModelWorker(model, params, tok, ["tiny"],
+                         image_size=tiny_worker.image_size,
+                         max_new_tokens=4)
+    worker.engine._run_wave = engine._run_wave
+    chunks = list(worker.generate_stream({"prompt": "hello",
+                                          "max_new_tokens": 4}))
+    assert chunks[-1]["error_code"] == 1
+    assert "RESOURCE_EXHAUSTED" not in chunks[-1]["text"]
+    assert all("RESOURCE_EXHAUSTED" not in c.get("text", "")
+               for c in chunks)
+
+
 @pytest.mark.slow
 def test_batched_engine_kv_int8_streams(tiny_worker):
     """kv_int8 engine (int8 prompt/latent/gen caches, in-op dequant)

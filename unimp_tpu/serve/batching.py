@@ -46,6 +46,12 @@ import numpy as np
 _END = object()
 
 
+class EngineError(RuntimeError):
+    """A wave failed wholesale (compile OOM, device error). Raised out of
+    ``stream()`` so callers surface it with an error code instead of
+    streaming the exception text as if it were generated tokens."""
+
+
 class _Request:
     def __init__(self, params, prompt_ids, vision, max_new, temperature, seed):
         self.params = params
@@ -129,6 +135,8 @@ class BatchedStreamingEngine:
             item = req.out.get()
             if item is _END:
                 return
+            if isinstance(item, EngineError):
+                raise item
             yield item
 
     # ---------------- wave formation ----------------
@@ -152,9 +160,14 @@ class BatchedStreamingEngine:
                     reqs.append(nxt)
             try:
                 self._run_wave(reqs)
-            except Exception as e:  # pragma: no cover - defensive
+            except Exception as e:
+                # deliver as an ERROR, not as generation text: a jax
+                # RESOURCE_EXHAUSTED message is kilobytes long, and a
+                # client that can't tell it from tokens reports garbage
+                # throughput (this exact failure was observed at 16
+                # slots x 4b, records/serve_4b_c16_v5e.json)
                 for r in reqs:
-                    r.out.put(f"[engine error: {e}]")
+                    r.out.put(EngineError(str(e)))
                     r.out.put(_END)
 
     # ---------------- compiled programs ----------------

@@ -13,6 +13,7 @@ from __future__ import annotations
 import base64
 import io
 import json
+import logging
 import threading
 import time
 import uuid
@@ -144,14 +145,26 @@ class ModelWorker:
                 vision = self._decode_images(req["images"])
             text = ""
             src = self.engine if self.engine is not None else self.streamer
-            for text in src.stream(
-                self.params,
-                prompt,
-                vision_x=vision,
-                temperature=float(req.get("temperature", 0.0)),
-                max_new_tokens=req.get("max_new_tokens"),
-            ):
-                yield {"text": text, "error_code": 0}
+            try:
+                for text in src.stream(
+                    self.params,
+                    prompt,
+                    vision_x=vision,
+                    temperature=float(req.get("temperature", 0.0)),
+                    max_new_tokens=req.get("max_new_tokens"),
+                ):
+                    yield {"text": text, "error_code": 0}
+            except Exception as e:
+                # wave-level failures (compile OOM, device error) arrive
+                # as EngineError from the batched engine — report them
+                # with an error code (reference worker semantics,
+                # model_worker.py error chunks), never as generated text;
+                # the full message goes to the server log only
+                logging.getLogger("unimp.serve.worker").error(
+                    "generation failed: %s", e)
+                yield {"text": f"engine error: {type(e).__name__}",
+                       "error_code": 1, "finish": True}
+                return
             yield {"text": text, "error_code": 0, "finish": True}
         finally:
             if acquired:
